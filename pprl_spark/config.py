@@ -1,0 +1,88 @@
+"""Embedder configuration: the broadcastable "schema + plan" object.
+
+The reference bundles Bloom parameters, a feature-factory dict and trained
+SCM matrices into a picklable ``Embedder`` class with an md5 checksum
+(`/root/reference/src/pprl/embedder/embedder.py:289-401`). In Spark the
+equivalent is a small frozen dataclass that (a) serializes to JSON, (b) is
+shipped to executors inside UDF closures (tiny, so no explicit broadcast
+needed), and (c) carries a deterministic checksum used to validate
+checkpointed stage tables on resume — the analog of the reference's
+EDF/embedder compatibility check (`embedder.py:504-506`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field, replace
+from typing import Any
+
+# Feature-factory registry: column-type name -> token kernel. Mirrors the
+# reference's feature_factory dict (embedder.py:349-364) but keyed by
+# *string* type names so the config stays JSON-serializable (the reference
+# dill-pickles functions instead, embedder.py:388-392).
+KNOWN_FIELD_TYPES = ("name", "sex", "dob", "misc", "shingled", "media")
+
+
+@dataclass(frozen=True)
+class EmbedderConfig:
+    """Parameters of the Bloom embedding space.
+
+    Defaults follow the reference (`embedder.py:349-357`): bf_size=1024,
+    num_hashes=2, offset=0, no salt, bigram+trigram q-grams.
+    """
+
+    bf_size: int = 1024
+    num_hashes: int = 2
+    offset: int = 0
+    salt: str = ""
+    # colspec: field name (from the span payload `field=value`) -> type.
+    colspec: dict[str, str] = field(
+        default_factory=lambda: {
+            "given_name": "name",
+            "surname": "name",
+            "date_of_birth": "dob",
+            "sex": "sex",
+            "address": "shingled",
+            "postcode": "misc",
+            "media_ref": "media",
+        }
+    )
+    # per-type kwargs, analog of ff_args (embedder.py:361-364)
+    ff_args: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    # ---- blocking parameters (no analog in the reference; the graft) ----
+    minhash_perms: int = 12           # minhash signature length
+    minhash_bands: int = 4            # bands; rows-per-band = perms // bands
+    salt_buckets: int = 8             # skew salting fan-out for hot blocks
+    max_block_size: int = 2000        # per-block candidate cap (logged when hit)
+
+    # ---- matching parameters ----
+    abs_cutoff: float = 0.0           # SimilarityArray.match abs_cutoff analog
+    rel_cutoff: float = 0.0           # margin above per-row threshold
+    similarity: str = "cosine"        # cosine | dice | jaccard
+
+    def with_args(self, **kwargs: Any) -> "EmbedderConfig":
+        return replace(self, **kwargs)
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "EmbedderConfig":
+        return cls(**json.loads(s))
+
+    @property
+    def checksum(self) -> str:
+        """Deterministic md5 of the full config.
+
+        Functional analog of ``Embedder._compute_checksum``
+        (`embedder.py:382-401`): two configs with equal checksums produce
+        byte-identical stage tables, so a checkpoint written under one
+        checksum may be reused by a resume under the same checksum.
+        """
+        return hashlib.md5(self.to_json().encode("utf-8")).hexdigest()
+
+    @property
+    def rows_per_band(self) -> int:
+        return max(1, self.minhash_perms // self.minhash_bands)
