@@ -208,15 +208,16 @@ def shingled_features(
 
 
 def media_features(value: str | None) -> list[str]:
-    """Opaque media reference -> a single labelled token `media<ref>`.
+    """Opaque media reference(s) -> labelled tokens `media<ref>`.
 
     No reference analog (the reference has no media columns); FIXTURES.md
     §1 specifies media spans hash as opaque labelled tokens, reusing the
-    misc labelling scheme (features.py:293-330).
+    misc labelling scheme (features.py:293-330). Multiple refs arrive
+    whitespace-joined (one per media span, in offset order).
     """
     if value is None or value == "":
         return []
-    return [f"media<{value.casefold()}>"]
+    return [f"media<{ref.casefold()}>" for ref in value.split()]
 
 
 def union_features(per_column: Iterable[list[str] | str]) -> list[str]:

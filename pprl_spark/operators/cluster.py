@@ -1,0 +1,71 @@
+"""Transitive closure: connected components over the accepted-pair graph.
+
+Absent from the reference (its Hungarian output is one-to-one,
+`/root/reference/src/pprl/embedder/embedder.py:280-284`); required by the
+north rule to emit entity clusters. Implemented as iterative min-label
+propagation over hash joins:
+
+    label(u) <- min(label(u), min_{v in N(u)} label(v))
+
+Entity-resolution match graphs have tiny components (pairs, stars, short
+chains), so the loop converges in O(component diameter) ≈ 2-4 iterations;
+each iteration is one shuffle join + one partial-aggregated groupBy-min.
+``localCheckpoint`` truncates lineage every iteration so the plan does not
+grow (SURVEY.md §2.4); on a cluster the pipeline checkpoints the label
+table to a stage table instead (plans.pipeline). For graphs with long
+chains the same loop still converges — iterations grow with diameter, not
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iterations: int = 50,
+    checkpoint_each: bool = True,
+) -> DataFrame:
+    """Return ``(doc_id, entity_id)`` with entity_id = min doc_id of the
+    component (lexicographic min for string ids — deterministic).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.distinct()
+    if checkpoint_each:
+        sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("entity_id", F.col("doc_id"))
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("doc_id", "v"), "v")
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("entity_id").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .withColumn("_new", F.least(F.col("entity_id"), F.col("_nmin")))
+            .withColumn("_new", F.coalesce(F.col("_new"), F.col("entity_id")))
+        )
+        changed = updated.where(F.col("_new") != F.col("entity_id")).limit(1).count()
+        labels = updated.select("doc_id", F.col("_new").alias("entity_id"))
+        if checkpoint_each:
+            labels = labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels
+
+
+def clusters_from_matches(matches: DataFrame) -> DataFrame:
+    """Accepted pairs -> (doc_id, entity_id) cluster assignment."""
+    return connected_components(matches.select("id1", "id2"))

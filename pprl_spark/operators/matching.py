@@ -1,0 +1,188 @@
+"""Thresholds + matching: the reference's mask/Hungarian re-expressed.
+
+Thresholds (J2): the reference self-compares each dataset N² and takes the
+row max (`/root/reference/src/pprl/embedder/embedder.py:115-135`). Here the
+max runs over *blocked* self-candidates — exact whenever the most-similar
+row shares a block (SURVEY.md §2.4 J2 documents the deviation; the F1 gate
+validates it on labeled data). A plain groupBy-max: partial aggregation
+map-side, tiny shuffle.
+
+Matching (J3): the reference runs scipy's Hungarian algorithm over the
+masked dense matrix (`embedder.py:280-284`). Two re-expressions:
+
+- :func:`mutual_best_match` — rank-1-both-directions windowed greedy.
+  Pure built-in window functions, fully scalable, and equivalent to the
+  assignment optimum whenever best matches are mutually consistent (the
+  overwhelming case for PPRL data; the F1 gate checks it).
+- :func:`assignment_match_in_blocks` — exact optimal assignment per
+  block via ``applyInPandas`` running a pure-Python Hungarian kernel
+  (scipy is unavailable here; ``linear_sum_assignment`` semantics,
+  maximize=True). Blocks are small after blocking, so exact assignment
+  is affordable where the greedy tie-breaks matter.
+
+Masking (P4): ``sim >= threshold_row + rel`` both sides plus the absolute
+cutoff — the predicate form of `embedder.py:269-278`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pprl_spark.config import EmbedderConfig
+
+
+def row_thresholds(self_candidates: DataFrame) -> DataFrame:
+    """Per-doc threshold = max similarity to any *other* row of the same
+    source (`embedder.py:115-135`: fill_diagonal(-inf) then row-max).
+
+    Input: scored self-candidate pairs (id1 < id2). Both orientations of
+    each pair contribute: id1's threshold sees id2 and vice versa.
+    """
+    both = self_candidates.select(F.col("id1").alias("doc_id"), "sim").unionAll(
+        self_candidates.select(F.col("id2").alias("doc_id"), "sim")
+    )
+    return both.groupBy("doc_id").agg(F.max("sim").alias("threshold"))
+
+
+def apply_thresholds(
+    candidates: DataFrame,
+    thresholds1: DataFrame | None,
+    thresholds2: DataFrame | None,
+    config: EmbedderConfig,
+) -> DataFrame:
+    """Mask candidate pairs below per-row thresholds / abs cutoff (P4).
+
+    Semantics of `embedder.py:269-278`: a pair survives only if its sim
+    is >= BOTH rows' thresholds (+rel_cutoff) and >= abs_cutoff. Missing
+    thresholds (docs with no self-candidates) default to -inf, i.e. no
+    constraint — matching the reference where every row has N-1 others.
+    Threshold tables are small relative to the pair table; Spark's AQE
+    broadcasts them when they fit.
+    """
+    out = candidates
+    if thresholds1 is not None:
+        t1 = thresholds1.select(F.col("doc_id").alias("id1"), F.col("threshold").alias("_t1"))
+        out = out.join(t1, "id1", "left").where(
+            F.col("_t1").isNull() | (F.col("sim") >= F.col("_t1") + F.lit(config.rel_cutoff))
+        ).drop("_t1")
+    if thresholds2 is not None:
+        t2 = thresholds2.select(F.col("doc_id").alias("id2"), F.col("threshold").alias("_t2"))
+        out = out.join(t2, "id2", "left").where(
+            F.col("_t2").isNull() | (F.col("sim") >= F.col("_t2") + F.lit(config.rel_cutoff))
+        ).drop("_t2")
+    return out.where(F.col("sim") >= F.lit(config.abs_cutoff))
+
+
+def mutual_best_match(candidates: DataFrame) -> DataFrame:
+    """Keep pairs that are each other's best candidate (rank 1 both ways).
+
+    Deterministic tie-break on the partner id keeps re-runs byte-stable.
+    Window partitions are per-document (small), so no skew concern.
+    """
+    w1 = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
+    w2 = Window.partitionBy("id2").orderBy(F.desc("sim"), F.asc("id1"))
+    return (
+        candidates.withColumn("_r1", F.row_number().over(w1))
+        .withColumn("_r2", F.row_number().over(w2))
+        .where((F.col("_r1") == 1) & (F.col("_r2") == 1))
+        .drop("_r1", "_r2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-block assignment (Hungarian) — pure-Python kernel + applyInPandas
+# ---------------------------------------------------------------------------
+
+
+def _hungarian_max(sim: "list[list[float]]") -> list[tuple[int, int]]:
+    """Maximum-weight one-to-one assignment (Jonker-style O(n³) shortest
+    augmenting path algorithm on the rectangular cost matrix).
+
+    Same contract as ``scipy.optimize.linear_sum_assignment(S,
+    maximize=True)`` used by the reference (`embedder.py:282`): every row
+    of the smaller side is assigned. Caller filters masked entries after.
+    """
+    import math
+
+    n, m = len(sim), len(sim[0]) if sim else 0
+    transposed = n > m
+    if transposed:
+        sim = [[sim[i][j] for i in range(n)] for j in range(m)]
+        n, m = m, n
+    # convert to min-cost with non-negative entries
+    big = max((max(r) for r in sim), default=0.0)
+    cost = [[big - v for v in row] for row in sim]
+
+    INF = math.inf
+    u = [0.0] * (n + 1)
+    v = [0.0] * (m + 1)
+    p = [0] * (m + 1)  # p[j] = row assigned to column j (1-based)
+    way = [0] * (m + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = [INF] * (m + 1)
+        used = [False] * (m + 1)
+        while True:
+            used[j0] = True
+            i0, delta, j1 = p[j0], INF, 0
+            for j in range(1, m + 1):
+                if not used[j]:
+                    cur = cost[i0 - 1][j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(m + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    pairs = [(p[j] - 1, j - 1) for j in range(1, m + 1) if p[j] != 0]
+    if transposed:
+        pairs = [(j, i) for i, j in pairs]
+    return pairs
+
+
+def assignment_match_in_blocks(candidates: DataFrame) -> DataFrame:
+    """Exact optimal assignment within each block via applyInPandas.
+
+    Groups the scored pair table by ``block_key``; inside each (small)
+    block, densifies the local similarity matrix and runs the Hungarian
+    kernel, exactly as the reference does globally (`embedder.py:280-284`)
+    — blocking makes "globally" affordable. Pairs absent from the
+    candidate table are masked (−inf) and never returned.
+    """
+    import pandas as pd
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids1 = {x: i for i, x in enumerate(sorted(pdf["id1"].unique()))}
+        ids2 = {x: i for i, x in enumerate(sorted(pdf["id2"].unique()))}
+        NEG = -1e18
+        mat = [[NEG] * len(ids2) for _ in range(len(ids1))]
+        for r in pdf.itertuples(index=False):
+            mat[ids1[r.id1]][ids2[r.id2]] = r.sim
+        picked = _hungarian_max(mat)
+        rev1 = {v: k for k, v in ids1.items()}
+        rev2 = {v: k for k, v in ids2.items()}
+        rows = [
+            (rev1[i], rev2[j], mat[i][j], pdf["block_key"].iloc[0])
+            for i, j in picked
+            if mat[i][j] > NEG / 2  # drop masked assignments (embedder.py:283-284)
+        ]
+        return pd.DataFrame(rows, columns=["id1", "id2", "sim", "block_key"])
+
+    return candidates.groupBy("block_key").applyInPandas(
+        solve, schema="id1 string, id2 string, sim double, block_key string"
+    )
