@@ -1,0 +1,133 @@
+"""Text-analysis columns for large-scale training-data pipelines.
+
+All JVM-native (split/transform/aggregate/filter — whole-stage codegen,
+no Python): token counting, quality scoring, n-gram language ID,
+document fingerprinting (rolling hash), word shingles, and the arithmetic
+rolling hash shared with MinHash dedup. Each function has an exact ANSI-SQL
+equivalent (see ``__spark_entry__.oracle_sql``) so the driver's DuckDB
+oracle can verify values bit-for-bit.
+
+These extend the reference's scope (pprl_toolkit is PII-only); they are
+the document-pipeline operators the engine needs at 100 TB: cheap,
+pushdown-friendly per-row metrics computed in one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007  # rolling-hash modulus; (acc*31 + c) stays << 2^63
+HASH_BASE = 31
+
+# tiny deterministic stopword profiles for the n-gram/stopword language
+# heuristic; chosen for SQL-expressibility (array overlap), not linguistic
+# completeness — the oracle reproduces the same rule.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu", "den"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+}
+
+
+def words_col(text: Column | str) -> Column:
+    """Whitespace tokenization: non-empty lowercase words."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda w: w != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(words_col(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(words_col(text)))
+
+
+def rolling_hash_col(s: Column) -> Column:
+    """Polynomial rolling hash of a string: fold (acc*31 + ascii) mod P.
+
+    The shared string->int hash for MinHash shingles, SimHash and
+    fingerprints. Exactly reproducible in SQL via
+    ``list_reduce([0] || [ascii(c) for c in chars], ...)``.
+    """
+    chars = F.split(s, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(HASH_BASE) + F.ascii(ch)) % F.lit(HASH_MOD),
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Rolling-hash fingerprint of whitespace-normalized lowercase text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return rolling_hash_col(F.array_join(words_col(c), " "))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles (space-joined), the unit set for n-gram Jaccard."""
+    w = words_col(text)
+    n = F.size(w)
+    return F.when(n < k, F.array(F.array_join(w, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+        )
+    )
+
+
+def shingle_hashes(text: Column | str, k: int = 3) -> Column:
+    """Distinct rolling-hash ints of the k-word shingle set."""
+    return F.array_distinct(
+        F.transform(word_shingles(text, k), lambda s: rolling_hash_col(s))
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1].
+
+    0.4·min(1, tokens/50) + 0.3·distinct_ratio + 0.3·min(1, mean_word_len/8).
+    Deterministic double arithmetic, reproducible in SQL.
+    """
+    w = words_col(text)
+    n = F.size(w).cast("double")
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(w)) / n).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(50.0))
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), mean_len / F.lit(8.0))
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-profile language ID with deterministic tie-break.
+
+    Scores each profile by distinct stopword hits in the document's word
+    set; highest score wins, ties broken by language code order; zero
+    hits -> 'und' (undetermined), mirroring common lang-ID conventions.
+    """
+    w = F.array_distinct(words_col(text))
+    scored = [
+        F.struct(
+            F.size(F.array_intersect(w, F.array(*[F.lit(t) for t in toks]))).alias("score"),
+            F.lit(code).alias("code"),
+        )
+        for code, toks in sorted(LANG_PROFILES.items())
+    ]
+    # max_by over the struct array: array_max picks (score, code) lexicographic
+    # max — largest score, then largest code; to make ties pick the SMALLEST
+    # code deterministically we compare on (score, reversed rank) instead.
+    ranked = [
+        F.struct(
+            s["score"].alias("score"), F.lit(-i).alias("rank"), s["code"].alias("code")
+        )
+        for i, s in enumerate(scored)
+    ]
+    best = F.array_max(F.array(*ranked))
+    return F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))

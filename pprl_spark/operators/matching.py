@@ -50,6 +50,7 @@ def apply_thresholds(
     thresholds1: DataFrame | None,
     thresholds2: DataFrame | None,
     config: EmbedderConfig,
+    mode: str = "filter",
 ) -> DataFrame:
     """Mask candidate pairs below per-row thresholds / abs cutoff (P4).
 
@@ -59,35 +60,67 @@ def apply_thresholds(
     constraint — matching the reference where every row has N-1 others.
     Threshold tables are small relative to the pair table; Spark's AQE
     broadcasts them when they fit.
+
+    ``mode="filter"`` drops masked pairs (the scalable default).
+    ``mode="flag"`` keeps them with a boolean ``masked`` column — needed
+    for exact reference parity of the Hungarian path: the reference
+    optimizes the assignment over the UNMASKED similarity matrix and only
+    then discards masked assignments (`embedder.py:280-284`, scipy sees
+    the raw data under the mask).
     """
     out = candidates
+    keep = F.col("sim") >= F.lit(config.abs_cutoff)
     if thresholds1 is not None:
         t1 = thresholds1.select(F.col("doc_id").alias("id1"), F.col("threshold").alias("_t1"))
-        out = out.join(t1, "id1", "left").where(
+        out = out.join(t1, "id1", "left")
+        keep = keep & (
             F.col("_t1").isNull() | (F.col("sim") >= F.col("_t1") + F.lit(config.rel_cutoff))
-        ).drop("_t1")
+        )
     if thresholds2 is not None:
         t2 = thresholds2.select(F.col("doc_id").alias("id2"), F.col("threshold").alias("_t2"))
-        out = out.join(t2, "id2", "left").where(
+        out = out.join(t2, "id2", "left")
+        keep = keep & (
             F.col("_t2").isNull() | (F.col("sim") >= F.col("_t2") + F.lit(config.rel_cutoff))
-        ).drop("_t2")
-    return out.where(F.col("sim") >= F.lit(config.abs_cutoff))
+        )
+    if mode == "flag":
+        out = out.withColumn("masked", ~keep)
+    else:
+        out = out.where(keep)
+    return out.drop("_t1", "_t2")
 
 
-def mutual_best_match(candidates: DataFrame) -> DataFrame:
+def mutual_best_match(candidates: DataFrame, rounds: int = 1) -> DataFrame:
     """Keep pairs that are each other's best candidate (rank 1 both ways).
 
     Deterministic tie-break on the partner id keeps re-runs byte-stable.
     Window partitions are per-document (small), so no skew concern.
+
+    ``rounds > 1`` re-runs the ranking on the residual pairs after
+    removing matched documents — the distributed analog of greedy
+    assignment by descending similarity, converging toward the Hungarian
+    solution on chain conflicts (a's best taken by someone better) at the
+    cost of one window pass + two anti-joins per extra round.
     """
-    w1 = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
-    w2 = Window.partitionBy("id2").orderBy(F.desc("sim"), F.asc("id1"))
-    return (
-        candidates.withColumn("_r1", F.row_number().over(w1))
-        .withColumn("_r2", F.row_number().over(w2))
-        .where((F.col("_r1") == 1) & (F.col("_r2") == 1))
-        .drop("_r1", "_r2")
-    )
+
+    def one_round(cand: DataFrame) -> DataFrame:
+        w1 = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
+        w2 = Window.partitionBy("id2").orderBy(F.desc("sim"), F.asc("id1"))
+        return (
+            cand.withColumn("_r1", F.row_number().over(w1))
+            .withColumn("_r2", F.row_number().over(w2))
+            .where((F.col("_r1") == 1) & (F.col("_r2") == 1))
+            .drop("_r1", "_r2")
+        )
+
+    matched = one_round(candidates)
+    remaining = candidates
+    for _ in range(rounds - 1):
+        remaining = remaining.join(
+            matched.select("id1").distinct(), "id1", "left_anti"
+        ).join(matched.select("id2").distinct(), "id2", "left_anti")
+        nxt = one_round(remaining)
+        matched = matched.unionByName(nxt)
+    return matched
 
 
 # ---------------------------------------------------------------------------
@@ -162,24 +195,35 @@ def assignment_match_in_blocks(candidates: DataFrame) -> DataFrame:
     block, densifies the local similarity matrix and runs the Hungarian
     kernel, exactly as the reference does globally (`embedder.py:280-284`)
     — blocking makes "globally" affordable. Pairs absent from the
-    candidate table are masked (−inf) and never returned.
+    candidate table score −inf for the optimizer and are never returned.
+
+    If a boolean ``masked`` column is present (``apply_thresholds`` with
+    ``mode="flag"``), the optimizer sees the raw sims and masked
+    assignments are dropped AFTER optimization — byte-parity with the
+    reference, where scipy optimizes the underlying data of the masked
+    array and the mask filters the result (`embedder.py:282-284`).
     """
     import pandas as pd
+
+    has_mask = "masked" in candidates.columns
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         ids1 = {x: i for i, x in enumerate(sorted(pdf["id1"].unique()))}
         ids2 = {x: i for i, x in enumerate(sorted(pdf["id2"].unique()))}
         NEG = -1e18
         mat = [[NEG] * len(ids2) for _ in range(len(ids1))]
+        masked = set()
         for r in pdf.itertuples(index=False):
             mat[ids1[r.id1]][ids2[r.id2]] = r.sim
+            if has_mask and r.masked:
+                masked.add((ids1[r.id1], ids2[r.id2]))
         picked = _hungarian_max(mat)
         rev1 = {v: k for k, v in ids1.items()}
         rev2 = {v: k for k, v in ids2.items()}
         rows = [
             (rev1[i], rev2[j], mat[i][j], pdf["block_key"].iloc[0])
             for i, j in picked
-            if mat[i][j] > NEG / 2  # drop masked assignments (embedder.py:283-284)
+            if mat[i][j] > NEG / 2 and (i, j) not in masked
         ]
         return pd.DataFrame(rows, columns=["id1", "id2", "sim", "block_key"])
 

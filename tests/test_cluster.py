@@ -1,0 +1,31 @@
+"""Connected components over known graphs."""
+
+from pprl_spark.operators.cluster import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id1 string, id2 string")
+    rows = connected_components(df).collect()
+    out: dict[str, set[str]] = {}
+    for r in rows:
+        out.setdefault(r["entity_id"], set()).add(r["doc_id"])
+    return {frozenset(v) for v in out.values()}
+
+
+def test_chain_and_island(spark):
+    comps = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    assert comps == {frozenset({"a", "b", "c", "d"}), frozenset({"x", "y"})}
+
+
+def test_star_and_triangle(spark):
+    comps = _cc(
+        spark,
+        [("h", "s1"), ("h", "s2"), ("h", "s3"), ("p", "q"), ("q", "r"), ("p", "r")],
+    )
+    assert comps == {frozenset({"h", "s1", "s2", "s3"}), frozenset({"p", "q", "r"})}
+
+
+def test_entity_id_is_min(spark):
+    df = spark.createDataFrame([("b", "a"), ("c", "b")], "id1 string, id2 string")
+    rows = {r["doc_id"]: r["entity_id"] for r in connected_components(df).collect()}
+    assert rows == {"a": "a", "b": "a", "c": "a"}

@@ -1,0 +1,120 @@
+"""Matching: Hungarian kernel properties + the reference's 4×4 golden.
+
+The golden reproduces `/root/reference/test/embedder/test_embedder.py:
+221-246` end-to-end on Spark under a single blocking key (block-local
+semantics == the reference's all-pairs semantics): names
+[Bob, Sally, Samina, John] × [Saly, Rob, Jon, Ade], bigram features,
+num_hashes=1, thresholds from self-compare, abs_cutoff=0.2, Hungarian
+-> (Bob,Rob), (Sally,Saly), (John,Jon); Samina/Ade unmatched.
+"""
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from pprl_spark.config import EmbedderConfig
+from pprl_spark.operators.candidates import generate_candidates
+from pprl_spark.operators.embedding import embed_documents
+from pprl_spark.operators.matching import (
+    _hungarian_max,
+    apply_thresholds,
+    assignment_match_in_blocks,
+    mutual_best_match,
+    row_thresholds,
+)
+
+
+def _brute_force_max(mat):
+    n, m = len(mat), len(mat[0])
+    best, best_val = [], float("-inf")
+    rows = range(n)
+    for cols in itertools.permutations(range(m), min(n, m)):
+        if n <= m:
+            val = sum(mat[i][cols[i]] for i in rows)
+            pairs = list(zip(rows, cols))
+        else:
+            continue
+        if val > best_val:
+            best_val, best = val, pairs
+    return best_val
+
+
+def test_hungarian_vs_bruteforce():
+    rng = random.Random(0)
+    for trial in range(25):
+        n = rng.randint(1, 5)
+        m = rng.randint(n, 6)  # brute force needs n <= m
+        mat = [[rng.uniform(0, 1) for _ in range(m)] for _ in range(n)]
+        got = _hungarian_max(mat)
+        got_val = sum(mat[i][j] for i, j in got)
+        assert abs(got_val - _brute_force_max(mat)) < 1e-9, (trial, mat)
+
+
+def test_hungarian_rectangular_transpose():
+    mat = [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]]  # 3x2: rows > cols
+    got = _hungarian_max(mat)
+    assert len(got) == 2
+    assert sum(mat[i][j] for i, j in got) == 2.0
+
+
+def _name_docs(spark, names, source):
+    rows = [
+        (
+            f"{source}-{i}",
+            [{"kind": "text", "text": f"name={n}", "media_ref": None, "offset": 0}],
+        )
+        for i, n in enumerate(names)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+def test_reference_4x4_golden(spark):
+    cfg = EmbedderConfig(
+        colspec={"name": "name"},
+        ff_args={"name": {"ngram_length": [2]}},
+        num_hashes=1,
+        abs_cutoff=0.2,
+        salt_buckets=1,
+    )
+    df1 = _name_docs(spark, ["Bob", "Sally", "Samina", "John"], "A")
+    df2 = _name_docs(spark, ["Saly", "Rob", "Jon", "Ade"], "B")
+    emb1 = embed_documents(df1, cfg, keep=["doc_id"]).withColumn(
+        "block_keys", F.array(F.lit("all"))
+    )
+    emb2 = embed_documents(df2, cfg, keep=["doc_id"]).withColumn(
+        "block_keys", F.array(F.lit("all"))
+    )
+    b1 = emb1.withColumn("block_key", F.explode("block_keys"))
+    b2 = emb2.withColumn("block_key", F.explode("block_keys"))
+
+    # thresholds: per-row max of self-compare (embedder.py:115-135)
+    t1 = row_thresholds(generate_candidates(b1, None, cfg))
+    t2 = row_thresholds(generate_candidates(b2, None, cfg))
+    cand = generate_candidates(b1, b2, cfg)
+    flagged = apply_thresholds(cand, t1, t2, cfg, mode="flag")
+    got = {
+        (r["id1"], r["id2"])
+        for r in assignment_match_in_blocks(flagged).collect()
+    }
+    assert got == {("A-0", "B-1"), ("A-1", "B-0"), ("A-3", "B-2")}
+
+
+def test_mutual_best_match_basic(spark):
+    rows = [
+        ("a1", "b1", "k", 0.9),
+        ("a1", "b2", "k", 0.5),
+        ("a2", "b1", "k", 0.6),
+        ("a2", "b2", "k", 0.55),
+        ("a3", "b2", "k", 0.54),
+    ]
+    cand = spark.createDataFrame(rows, "id1 string, id2 string, block_key string, sim double")
+    got = {(r["id1"], r["id2"]) for r in mutual_best_match(cand).collect()}
+    # only a1-b1 is rank-1 in both directions in round 1
+    assert got == {("a1", "b1")}
+    got2 = {(r["id1"], r["id2"]) for r in mutual_best_match(cand, rounds=2).collect()}
+    # round 2: with a1/b1 removed, a2-b2 becomes mutual best (a3 loses)
+    assert got2 == {("a1", "b1"), ("a2", "b2")}

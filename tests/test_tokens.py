@@ -1,0 +1,132 @@
+"""Golden + property tests for the token kernels.
+
+Golden vectors are lifted from the reference's own tests so byte-parity
+with `/root/reference/src/pprl/embedder/features.py` is pinned
+(FIXTURES.md §3); property tests mirror the reference's Hypothesis suite
+(`/root/reference/test/embedder/test_features.py:28-57,79-116`).
+"""
+
+import string
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from pprl_spark.functions import tokens
+
+NAMES = st.text(alphabet=string.ascii_letters + " -'.", min_size=0, max_size=30)
+
+
+def test_split_string_underscore_golden():
+    # features.py docstring examples (features.py:17-22)
+    assert tokens.split_string_underscore("dave  william johnson") == [
+        "_dave_",
+        "_william_",
+        "_johnson_",
+    ]
+    assert tokens.split_string_underscore("Francesca__Hogan-O'Malley") == [
+        "_Francesca_",
+        "_Hogan_",
+        "_O'Malley_",
+    ]
+
+
+def test_skip_grams_golden():
+    # features.py:73-79 docstring example
+    toks = tokens.split_string_underscore("dave james")
+    assert list(tokens.gen_skip_grams(toks)) == [
+        "_a", "dv", "ae", "v_", "_a", "jm", "ae", "ms", "e_",
+    ]
+
+
+def test_doris_smith_bigrams_golden():
+    # test_embedder.py:131-164 golden
+    assert tokens.name_features("doris smith", ngram_length=[2]) == [
+        "_d", "do", "or", "ri", "is", "s_", "_s", "sm", "mi", "it", "th", "h_",
+    ]
+
+
+def test_dave_wilson_all_features_golden():
+    # test_features.py:174-246 golden (ngrams + skip-grams + metaphone)
+    got = set(
+        tokens.name_features(
+            "dave wilson", ngram_length=[2], use_gen_skip_grams=True, use_double_metaphone=True
+        )
+    )
+    assert got == {
+        "_d", "da", "av", "ve", "e_", "_w", "wi", "il", "ls", "so", "on", "n_",
+        "_a", "dv", "ae", "v_", "_i", "wl", "is", "lo", "sn", "o_",
+        "ALSN", "FLSN", "TF",
+    }
+
+
+def test_ron_bill_all_features_golden():
+    got = set(
+        tokens.name_features(
+            "ron bill", ngram_length=[2], use_gen_skip_grams=True, use_double_metaphone=True
+        )
+    )
+    assert got == {
+        "_r", "ro", "on", "n_", "_b", "bi", "il", "ll", "l_",
+        "_o", "rn", "o_", "_i", "bl", "PL", "RN",
+    }
+
+
+def test_sex_features_golden():
+    # test_features.py:352-361: ["Ostrich","Male",None,"female",42] ->
+    # [["sex<o>"],["sex<m>"],[""],["sex<f>"],[""]]
+    assert tokens.sex_features("Ostrich") == ["sex<o>"]
+    assert tokens.sex_features("Male") == ["sex<m>"]
+    assert tokens.sex_features(None) == [""]
+    assert tokens.sex_features("female") == ["sex<f>"]
+    assert tokens.sex_features(42) == [""]
+
+
+def test_dob_features_golden():
+    # test_embedder.py:167-189: "01/3/2012" -> day<01>/month<03>/year<2012>
+    assert tokens.dob_features("01/3/2012") == ["day<01>", "month<03>", "year<2012>"]
+    assert tokens.dob_features("20120301") == ["day<01>", "month<03>", "year<2012>"]
+    assert tokens.dob_features("garbage") == []
+    assert tokens.dob_features(None, default=["day<01>", "month<01>", "year<2050>"]) == [
+        "day<01>", "month<01>", "year<2050>",
+    ]
+
+
+def test_misc_features_golden():
+    # features.py:293-330: ints stringified; missing -> scalar ""
+    assert tokens.misc_features(42) == ["misc<42>"]
+    assert tokens.misc_features("Blue", label="colour") == ["colour<blue>"]
+    assert tokens.misc_features("") == ""
+    assert tokens.misc_features(None) == ""
+
+
+def test_shingled_features_golden():
+    # test_features.py:487-510 style: label<gram> wrapping, default zz
+    got = tokens.shingled_features("russ abbott", ngram_length=[6])
+    assert all(g.startswith("zz<") and g.endswith(">") for g in got)
+    assert "zz<_russ_>" in got
+
+
+def test_union_features_missing_semantics():
+    # embedder.py:449-454: scalar "" vanishes; [""] contributes ""
+    assert set(tokens.union_features([["a", "b"], "", ["b"]])) == {"a", "b"}
+    assert set(tokens.union_features([["a"], [""]])) == {"a", ""}
+
+
+@given(NAMES)
+def test_ngram_lengths_property(name):
+    toks = tokens.split_string_underscore(name.lower())
+    for g in tokens.gen_ngram(toks, [2, 3]):
+        assert len(g) in (2, 3)
+        assert g != "_"
+
+
+@given(NAMES)
+def test_name_features_deterministic(name):
+    assert tokens.name_features(name) == tokens.name_features(name)
+
+
+@given(st.one_of(st.none(), st.text(max_size=10)))
+def test_sex_features_shape(value):
+    out = tokens.sex_features(value)
+    assert isinstance(out, list) and len(out) == 1
+    assert out[0] == "" or (out[0].startswith("sex<") and out[0].endswith(">"))
