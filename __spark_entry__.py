@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship privacy-preserving linkage pipeline on
+the sf0.001 documents table. ``queries()`` exposes each implemented
+operator from SURVEY.md §2 (plus the training-data-pipeline extensions)
+over the driver's parquet tables; ``oracle_sql()`` gives the exact
+DuckDB-SQL equivalent — including the salted SHA-256 Bloom hashing, whose
+little-endian-mod semantics are reproduced in SQL via a Horner fold over
+the digest bytes.
+
+Column names and types are aligned on both sides (BIGINT ids/counts,
+ROUND(x, 6) doubles) because the driver hash-compares values.
 """
 
 from __future__ import annotations
@@ -12,27 +17,516 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from pprl_spark.config import EmbedderConfig
+from pprl_spark.functions.features import bigram_col, make_bloom_udf
+from pprl_spark.functions import text as TXT
+from pprl_spark.operators import ann as ANN
+from pprl_spark.operators.blocking import MINHASH_PRIME, minhash_coeffs
+from pprl_spark.operators.cluster import connected_components
+
+BF_SIZE = 1024
+NUM_HASHES = 2
+MH_PERMS = 6
+MH_BANDS = 3
+MH_ROWS = MH_PERMS // MH_BANDS
+
+
+# Per-session memo of base/derived DataFrames. Besides avoiding repeated
+# scans when the driver runs many queries in one session, this works around
+# a Spark 4.1 planner quirk: two *separately constructed* but identical
+# plans containing a pandas UDF over the same parquet path can make the
+# second execution skip Python-UDF extraction (codegen then fails on the
+# raw PythonUDF expression). Reusing the same DataFrame object sidesteps it.
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memoized(key: tuple, build) -> DataFrame:
+    df = _MEMO.get(key)
+    if df is None:
+        df = build()
+        _MEMO[key] = df
+    return df
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        (id(spark), sf_dir, "documents"),
+        lambda: spark.read.parquet(f"{sf_dir}/documents.parquet"),
+    )
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        (id(spark), sf_dir, "embeddings"),
+        lambda: spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-side building blocks (shared by several queries)
+# ---------------------------------------------------------------------------
+
+
+def _grams(df: DataFrame) -> DataFrame:
+    """(doc_id, feats array<string>): distinct reference-semantics bigrams."""
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_distinct(bigram_col("text")).alias("feats"),
+    )
+
+
+def _bloom(df: DataFrame) -> DataFrame:
+    """(doc_id, feats, bf_indices, collision_fraction) via the parity UDF."""
+    bloom_udf = make_bloom_udf(BF_SIZE, NUM_HASHES)
+    out = df.withColumn("_b", bloom_udf("feats"))
+    return out.select(
+        "doc_id",
+        "feats",
+        F.col("_b.bf_indices").alias("bf_indices"),
+        F.col("_b.collision_fraction").alias("collision_fraction"),
+    )
+
+
+def _embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized tokenize+bloom stage shared by all PPRL queries.
+
+    Materialized via localCheckpoint — the in-session analog of the
+    pipeline's checkpointed embed stage table (plans.pipeline): the Bloom
+    UDF runs once, downstream self-joins see plain columns. This also
+    avoids a Spark 4.1 bug where a pandas UDF appearing on both sides of
+    a self-join is executed un-extracted inside a codegen Project.
+    """
+    return _memoized(
+        (id(spark), sf_dir, "embedded"),
+        lambda: _bloom(_grams(_docs(spark, sf_dir))).localCheckpoint(),
+    )
+
+
+def _block_keys_col():
+    """MinHash band keys over bf_indices — same closed-form constants as SQL."""
+    def hasher(a: int, b: int):
+        # factory, not default-arg lambda: Spark requires 1-arg lambdas
+        return lambda x: (F.lit(a) * x.cast("long") + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    keys = []
+    coeffs = minhash_coeffs(MH_PERMS)
+    for band in range(MH_BANDS):
+        parts = []
+        for r in range(MH_ROWS):
+            a, b = coeffs[band * MH_ROWS + r]
+            parts.append(
+                F.array_min(F.transform("bf_indices", hasher(a, b))).cast("string")
+            )
+        keys.append(F.concat_ws("-", F.lit(f"mh{band}"), *parts))
+    return F.array(*keys)
+
+
+def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embedded(spark, sf_dir)
+    return _memoized(
+        (id(spark), sf_dir, "blocked"),
+        lambda: emb.select(
+            "doc_id", "bf_indices", F.explode(_block_keys_col()).alias("block_key")
+        ),
+    )
+
+
+def _scored_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks = _blocked(spark, sf_dir)
+    left = blocks.select(
+        F.col("doc_id").alias("id1"), F.col("bf_indices").alias("bf1"), "block_key"
+    )
+    right = blocks.select(
+        F.col("doc_id").alias("id2"), F.col("bf_indices").alias("bf2"), "block_key"
+    )
+    pairs = (
+        left.join(right, "block_key")
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn(
+            "sim",
+            F.size(F.array_intersect("bf1", "bf2")).cast("double")
+            / (F.sqrt(F.size("bf1")) * F.sqrt(F.size("bf2"))),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.round(F.first("sim"), 6).alias("sim"))
+    )
+    return pairs
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct candidate pairs sharing >=1 band key, cosine-scored (memoized)."""
+    return _memoized(
+        (id(spark), sf_dir, "scored_pairs"),
+        lambda: _scored_pairs_build(spark, sf_dir),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle building blocks
+# ---------------------------------------------------------------------------
+
+# distinct reference-semantics bigrams of a text column (features.py:10-65)
+SQL_GRAMS = r"""
+SELECT doc_id,
+       list_distinct(
+         flatten([[t[i:i+1] FOR i IN range(1, len(t))]
+                  FOR t IN ['_' || w || '_'
+                            FOR w IN list_filter(
+                              regexp_split_to_array(lower(text), '[\s+\-_,.]+'),
+                              w -> w <> '')]])
+       ) AS feats
+FROM documents
+"""
+
+# SHA-256 little-endian mod — Horner fold over digest bytes (bloom_filters.py:69-79)
+SQL_BLOOM_IDX = (
+    "list_reduce([0] || [('0x' || substring(hex, 65-2*j, 2))::BIGINT FOR j IN range(1, 33)], "
+    f"(acc, b) -> (acc * 256 + b) % {BF_SIZE})"
+)
+
+SQL_BLOOM = f"""
+WITH grams AS ({SQL_GRAMS}),
+exploded AS (
+  SELECT doc_id, unnest(feats) AS g, len(feats) AS n_feats FROM grams
+),
+hashed AS (
+  SELECT doc_id, n_feats, sha256(g || i::VARCHAR) AS hex
+  FROM exploded, (SELECT unnest(range(0, {NUM_HASHES})) AS i)
+),
+per_doc AS (
+  SELECT doc_id,
+         list_distinct(list({SQL_BLOOM_IDX})) AS bf,
+         count(*) AS n_raw
+  FROM hashed GROUP BY doc_id
+)
+"""
+
+
+def _sql_minhash_key(band: int) -> str:
+    coeffs = minhash_coeffs(MH_PERMS)
+    parts = []
+    for r in range(MH_ROWS):
+        a, b = coeffs[band * MH_ROWS + r]
+        parts.append(
+            f"list_min([({a} * x + {b}) % {MINHASH_PRIME} FOR x IN bf])::VARCHAR"
+        )
+    joined = " || '-' || ".join(parts)
+    return f"('mh{band}' || '-' || {joined})"
+
+
+SQL_BLOCKS = (
+    SQL_BLOOM
+    + ", blocks AS (SELECT doc_id, bf, unnest(["
+    + ", ".join(_sql_minhash_key(b) for b in range(MH_BANDS))
+    + "]) AS block_key FROM per_doc)"
+)
+
+SQL_PAIRS = (
+    SQL_BLOCKS
+    + """
+, pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         round(len(list_intersect(l.bf, r.bf))::DOUBLE
+               / (sqrt(len(l.bf)) * sqrt(len(r.bf))), 6) AS sim
+  FROM blocks l JOIN blocks r USING (block_key)
+  WHERE l.doc_id < r.doc_id
+)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: blocked + scored + mutually-best-matched near-dup linkage
+    over the sf0.001 documents table (the full PPRL dataflow minus the
+    parties split: tokenize -> Bloom-embed -> LSH block -> score -> match).
+    """
+    pairs = _scored_pairs(spark, "/root/testdata/sf0.001")
+    w1 = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
+    w2 = Window.partitionBy("id2").orderBy(F.desc("sim"), F.asc("id1"))
+    return (
+        pairs.withColumn("r1", F.row_number().over(w1))
+        .withColumn("r2", F.row_number().over(w2))
+        .where((F.col("r1") == 1) & (F.col("r2") == 1))
+        .select("id1", "id2", "sim")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def pprl_tokenize_bigrams(spark, sf_dir):
+        return _grams(_docs(spark, sf_dir)).select(
+            "doc_id", F.explode("feats").alias("gram")
+        )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def pprl_bloom_embed(spark, sf_dir):
+        emb = _embedded(spark, sf_dir)
+        return emb.select("doc_id", F.explode("bf_indices").alias("_i")).select(
+            "doc_id", F.col("_i").cast("long").alias("bf_idx")
+        )
+
+    def pprl_bloom_stats(spark, sf_dir):
+        emb = _embedded(spark, sf_dir)
+        return emb.select(
+            "doc_id",
+            F.size("bf_indices").cast("long").alias("n_indices"),
+            F.round("collision_fraction", 6).alias("collision_fraction"),
+        )
+
+    def pprl_minhash_blocks(spark, sf_dir):
+        return _blocked(spark, sf_dir).select("doc_id", "block_key")
+
+    def pprl_score_pairs(spark, sf_dir):
+        return _scored_pairs(spark, sf_dir)
+
+    def pprl_thresholds(spark, sf_dir):
+        pairs = _scored_pairs(spark, sf_dir)
+        both = pairs.select(F.col("id1").alias("doc_id"), "sim").unionAll(
+            pairs.select(F.col("id2").alias("doc_id"), "sim")
+        )
+        return both.groupBy("doc_id").agg(F.round(F.max("sim"), 6).alias("threshold"))
+
+    def pprl_mutual_best_match(spark, sf_dir):
+        pairs = _scored_pairs(spark, sf_dir)
+        w1 = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
+        w2 = Window.partitionBy("id2").orderBy(F.desc("sim"), F.asc("id1"))
+        return (
+            pairs.withColumn("r1", F.row_number().over(w1))
+            .withColumn("r2", F.row_number().over(w2))
+            .where((F.col("r1") == 1) & (F.col("r2") == 1))
+            .select("id1", "id2", "sim")
+        )
+
+    def pprl_clusters(spark, sf_dir):
+        pairs = _scored_pairs(spark, sf_dir).where(F.col("sim") >= 0.8)
+        cc = connected_components(pairs)
+        return cc.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("entity_id").cast("long").alias("entity_id"),
+        )
+
+    def dedup_exact(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        norm = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.array_join(TXT.words_col("text"), " ").alias("norm_text"),
+        )
+        canon = norm.groupBy("norm_text").agg(
+            F.min("doc_id").alias("canonical_id"), F.count("*").cast("long").alias("n_copies")
+        )
+        return norm.join(canon, "norm_text").select("doc_id", "canonical_id", "n_copies")
+
+    def text_stats(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            TXT.token_count("text").cast("long").alias("n_tokens"),
+            TXT.distinct_token_count("text").cast("long").alias("n_distinct"),
+            F.round(TXT.quality_score("text"), 6).alias("quality"),
+            TXT.fingerprint("text").alias("fp"),
+            TXT.lang_id("text").alias("lang_pred"),
+        )
+
+    def ann_topk(spark, sf_dir):
+        emb = _embeddings(spark, sf_dir)
+        queries_df = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        corpus = emb.where(F.col("vec_id") >= 10)
+        out = ANN.brute_force_topk(corpus, queries_df, k=5)
+        return out.select(
+            F.col("query_id").cast("long"),
+            F.col("vec_id").cast("long"),
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    def ann_lsh_buckets(spark, sf_dir):
+        emb = _embeddings(spark, sf_dir)
+        return emb.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            ANN.lsh_bucket_key(F.col("embedding"), 64, 8).cast("long").alias("bucket"),
+        )
+
+    return {
+        "pprl_tokenize_bigrams": pprl_tokenize_bigrams,
+        "pprl_bloom_embed": pprl_bloom_embed,
+        "pprl_bloom_stats": pprl_bloom_stats,
+        "pprl_minhash_blocks": pprl_minhash_blocks,
+        "pprl_score_pairs": pprl_score_pairs,
+        "pprl_thresholds": pprl_thresholds,
+        "pprl_mutual_best_match": pprl_mutual_best_match,
+        "pprl_clusters": pprl_clusters,
+        "dedup_exact": dedup_exact,
+        "text_stats": text_stats,
+        "ann_topk": ann_topk,
+        "ann_lsh_buckets": ann_lsh_buckets,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    grams_exploded = f"WITH grams AS ({SQL_GRAMS}) SELECT doc_id, unnest(feats) AS gram FROM grams"
+
+    bloom_embed = (
+        SQL_BLOOM + "SELECT doc_id, unnest(bf) AS bf_idx FROM per_doc"
+    )
+
+    bloom_stats = (
+        SQL_BLOOM
+        + "SELECT doc_id, len(bf)::BIGINT AS n_indices, "
+        + "round(1.0 - len(bf)::DOUBLE / n_raw, 6) AS collision_fraction FROM per_doc"
+    )
+
+    blocks_sql = SQL_BLOCKS + " SELECT doc_id, block_key FROM blocks"
+
+    pairs_sql = SQL_PAIRS + " SELECT id1, id2, sim FROM pairs"
+
+    thresholds_sql = (
+        SQL_PAIRS
+        + """
+SELECT doc_id, round(max(sim), 6) AS threshold FROM (
+  SELECT id1 AS doc_id, sim FROM pairs
+  UNION ALL
+  SELECT id2 AS doc_id, sim FROM pairs
+) GROUP BY doc_id
+"""
+    )
+
+    mutual_sql = (
+        SQL_PAIRS
+        + """
+, ranked AS (
+  SELECT id1, id2, sim,
+         row_number() OVER (PARTITION BY id1 ORDER BY sim DESC, id2 ASC) AS r1,
+         row_number() OVER (PARTITION BY id2 ORDER BY sim DESC, id1 ASC) AS r2
+  FROM pairs
+)
+SELECT id1, id2, sim FROM ranked WHERE r1 = 1 AND r2 = 1
+"""
+    )
+
+    clusters_sql = (
+        SQL_PAIRS.replace("WITH grams", "WITH RECURSIVE grams", 1)
+        + """
+, edges AS (
+  SELECT id1 AS u, id2 AS v FROM pairs WHERE sim >= 0.8
+  UNION SELECT id2, id1 FROM pairs WHERE sim >= 0.8
+),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+walk(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.n
+)
+SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n
+"""
+    )
+
+    dedup_exact_sql = r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                     w -> w <> ''), ' ') AS norm_text
+  FROM documents
+),
+canon AS (
+  SELECT norm_text, min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies
+  FROM norm GROUP BY norm_text
+)
+SELECT n.doc_id, c.canonical_id, c.n_copies
+FROM norm n JOIN canon c USING (norm_text)
+"""
+
+    lang_cases = []
+    for code, toks in sorted(TXT.LANG_PROFILES.items()):
+        arr = "[" + ", ".join(f"'{t}'" for t in toks) + "]"
+        lang_cases.append(f"len(list_intersect(w_distinct, {arr}))")
+    # struct-max tie-break identical to the Spark column: (score, -rank, code)
+    lang_structs = ", ".join(
+        f"{{'score': {expr}, 'rank': {-i}, 'code': '{code}'}}"
+        for i, ((code, _), expr) in enumerate(zip(sorted(TXT.LANG_PROFILES.items()), lang_cases))
+    )
+
+    text_stats_sql = rf"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), w -> w <> '') AS w
+  FROM documents
+),
+ext AS (
+  SELECT doc_id, w, list_distinct(w) AS w_distinct,
+         len(w)::BIGINT AS n_tokens,
+         len(list_distinct(w))::BIGINT AS n_distinct,
+         list_reduce([0::BIGINT] || [ascii(c) FOR c IN string_split(array_to_string(w, ' '), '')],
+                     (acc, x) -> (acc * {TXT.HASH_BASE} + x) % {TXT.HASH_MOD}) AS fp
+  FROM base
+),
+scored AS (
+  SELECT *,
+         CASE WHEN n_tokens > 0
+              THEN list_reduce([0::BIGINT] || [len(x) FOR x IN w], (a, x) -> a + x)::DOUBLE / n_tokens
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0.0 END AS distinct_ratio,
+         list_max([{lang_structs}]) AS best
+  FROM ext
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(0.4 * least(1.0, n_tokens / 50.0)
+             + 0.3 * distinct_ratio
+             + 0.3 * least(1.0, mean_len / 8.0), 6) AS quality,
+       fp,
+       CASE WHEN best.score > 0 THEN best.code ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+    ann_topk_sql = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_reduce([0.0] || [qv[i+1]::DOUBLE * cv[i+1]::DOUBLE FOR i IN range(0, len(qv))], (a, x) -> a + x)
+         / (sqrt(list_reduce([0.0] || [qv[i+1]::DOUBLE * qv[i+1]::DOUBLE FOR i IN range(0, len(qv))], (a, x) -> a + x))
+            * sqrt(list_reduce([0.0] || [cv[i+1]::DOUBLE * cv[i+1]::DOUBLE FOR i IN range(0, len(cv))], (a, x) -> a + x))) AS cos
+  FROM c, q
+),
+ranked AS (
+  SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, round(cos, 6) AS cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+    plane_terms = []
+    for j in range(8):
+        plane_terms.append(
+            f"CASE WHEN list_reduce([0.0] || [embedding[i+1]::DOUBLE * "
+            f"(((({j + 1}) * 2654435761 + i * 40503) % {ANN.MOD})::DOUBLE / {ANN.MOD} - 0.5) "
+            f"FOR i IN range(0, len(embedding))], (a, x) -> a + x) >= 0 THEN {2 ** j} ELSE 0 END"
+        )
+    ann_lsh_sql = (
+        "SELECT vec_id::BIGINT AS vec_id, ("
+        + " + ".join(plane_terms)
+        + ")::BIGINT AS bucket FROM embeddings"
+    )
+
+    return {
+        "pprl_tokenize_bigrams": grams_exploded,
+        "pprl_bloom_embed": bloom_embed,
+        "pprl_bloom_stats": bloom_stats,
+        "pprl_minhash_blocks": blocks_sql,
+        "pprl_score_pairs": pairs_sql,
+        "pprl_thresholds": thresholds_sql,
+        "pprl_mutual_best_match": mutual_sql,
+        "pprl_clusters": clusters_sql,
+        "dedup_exact": dedup_exact_sql,
+        "text_stats": text_stats_sql,
+        "ann_topk": ann_topk_sql,
+        "ann_lsh_buckets": ann_lsh_sql,
+    }

@@ -97,6 +97,42 @@ def make_embed_udf(config: EmbedderConfig):
     return embed
 
 
+def make_bloom_udf(
+    bf_size: int = 1024, num_hashes: int = 2, offset: int = 0, salt: str = ""
+):
+    """Pandas UDF: array<string> features -> struct(bf_indices, collision).
+
+    The standalone hashing half of the embed UDF, for queries that build
+    feature arrays natively (e.g. bigram_col) and only need the
+    parity-exact SHA-256 Bloom mapping (`bloom_filters.py:44-81`).
+    """
+    out_type = T.StructType(
+        [
+            T.StructField("bf_indices", T.ArrayType(T.IntegerType())),
+            T.StructField("collision_fraction", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def bloom(features: pd.Series) -> pd.DataFrame:
+        memo: dict = {}
+        idx_out, coll_out = [], []
+        for feats in features:
+            idx, coll = bloom_indices_with_collisions(
+                feats if feats is not None else [],
+                bf_size,
+                num_hashes,
+                offset,
+                salt,
+                _memo=memo,
+            )
+            idx_out.append(idx)
+            coll_out.append(coll)
+        return pd.DataFrame({"bf_indices": idx_out, "collision_fraction": coll_out})
+
+    return bloom
+
+
 # ---------------------------------------------------------------------------
 # Native (JVM-side, codegen'd) single-field feature columns. These mirror the
 # token kernels for the simple labelled types and exist so purely relational

@@ -152,16 +152,16 @@ def simhash_col(text_col: str, bits: int = 32, k: int = 2) -> Column:
     with negligible near-dup quality loss at doc granularity.
     """
     sh = shingle_hashes(text_col, k)
+
+    def voter(j: int):
+        # factory, not default-arg lambda: Spark requires exact-arity lambdas
+        return lambda a, x: a + F.when(
+            F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
     acc = F.lit(0).cast("long")
     for j in range(bits):
-        vote = F.aggregate(
-            sh,
-            F.lit(0).cast("long"),
-            lambda a, x, j=j: a
-            + F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
+        vote = F.aggregate(sh, F.lit(0).cast("long"), voter(j))
         acc = acc + F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
     return acc
 
