@@ -52,9 +52,13 @@ def _memoized(key: tuple, build) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-file parquet arrives as 1 input split; spread rows across the
+    # cluster before the (CPU-bound) embed UDF so all cores work
     return _memoized(
         (id(spark), sf_dir, "documents"),
-        lambda: spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        lambda: spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
     )
 
 

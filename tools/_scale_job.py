@@ -1,0 +1,53 @@
+"""One scaling-run: full synthetic linkage at a given core count.
+
+Invoked by tools/bench_scaling.py as a subprocess (one JVM per master
+setting). Prints a single JSON line with elapsed seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pprl_spark.config import EmbedderConfig
+from pprl_spark.operators.blocking import add_block_keys, explode_blocks
+from pprl_spark.operators.candidates import generate_candidates
+from pprl_spark.operators.embedding import embed_documents
+from pprl_spark.operators.matching import mutual_best_match
+from pprl_spark.session import get_spark
+from pprl_spark.sources.synthetic import synthesize_documents
+
+KEEP = ["doc_id", "true_id", "given_name", "surname", "date_of_birth", "sex", "address", "postcode"]
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    n = int(sys.argv[2])
+    spark = get_spark(app_name=f"scale_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    cfg = EmbedderConfig(abs_cutoff=0.3)
+    # generation outside the timed section (identical input both runs)
+    A = synthesize_documents(spark, n, "A", partitions=cpus).localCheckpoint()
+    B = synthesize_documents(spark, n, "B", partitions=cpus).localCheckpoint()
+
+    t0 = time.time()
+    cand = generate_candidates(
+        explode_blocks(add_block_keys(embed_documents(A, cfg, keep=KEEP), cfg)),
+        explode_blocks(add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg)),
+        cfg,
+    )
+    n_matches = mutual_best_match(cand.where(F.col("sim") >= 0.3)).count()
+    elapsed = time.time() - t0
+    print(json.dumps({"cpus": cpus, "n_per_source": n, "matches": n_matches,
+                      "elapsed_sec": round(elapsed, 2),
+                      "docs_per_sec": round(2 * n / elapsed, 1)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Two-parallelism scaling-efficiency evidence (north rule).
+
+A real N-vs-4N-executor cluster does not exist in this sandbox, so —
+per BASELINE.md — the same job runs at local[8] and local[32] on
+identical input, each in its own JVM subprocess. Reported:
+
+    efficiency = (T_8 / T_32) / (32 / 8)      (per-core normalized)
+
+Usage: python tools/bench_scaling.py [n_per_source]
+Appends a row to BENCH/BASELINE.md when run from the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def run(cpus: int, n: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "tools/_scale_job.py", str(cpus), str(n)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
+    lo = run(8, n)
+    hi = run(32, n)
+    eff = (lo["elapsed_sec"] / hi["elapsed_sec"]) / (32 / 8)
+    result = {
+        "n_per_source": n,
+        "local8_sec": lo["elapsed_sec"],
+        "local32_sec": hi["elapsed_sec"],
+        "local8_docs_per_sec": lo["docs_per_sec"],
+        "local32_docs_per_sec": hi["docs_per_sec"],
+        "speedup": round(lo["elapsed_sec"] / hi["elapsed_sec"], 2),
+        "scaling_efficiency": round(eff, 3),
+        "matches_equal": lo["matches"] == hi["matches"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
