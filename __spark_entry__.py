@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from pprl_spark.config import EmbedderConfig
-from pprl_spark.functions.features import bigram_col, make_bloom_udf
+from pprl_spark.functions.features import bigram_col
 from pprl_spark.functions import text as TXT
 from pprl_spark.operators import ann as ANN
 from pprl_spark.operators.blocking import MINHASH_PRIME, minhash_coeffs
@@ -83,14 +83,39 @@ def _grams(df: DataFrame) -> DataFrame:
 
 
 def _bloom(df: DataFrame) -> DataFrame:
-    """(doc_id, feats, bf_indices, collision_fraction) via the parity UDF."""
-    bloom_udf = make_bloom_udf(BF_SIZE, NUM_HASHES)
-    out = df.withColumn("_b", bloom_udf("feats"))
-    return out.select(
-        "doc_id",
-        "feats",
-        F.col("_b.bf_indices").alias("bf_indices"),
-        F.col("_b.collision_fraction").alias("collision_fraction"),
+    """(doc_id, feats, bf_indices, collision_fraction) via the parity kernel.
+
+    mapInPandas rather than a column pandas UDF: a logical operator cannot
+    be missed by Python-UDF extraction (Spark 4.1 drops the extraction on
+    re-executed plans that share higher-order-function subtrees, leaving a
+    raw PythonUDF inside a codegen Project), and the batch iterator shares
+    one hash memo across the whole Arrow batch.
+    """
+    import pandas as pd
+
+    from pprl_spark.functions.hashing import bloom_indices_with_collisions
+
+    def kernel(batches):
+        for pdf in batches:
+            memo: dict = {}
+            out = [
+                bloom_indices_with_collisions(
+                    f, BF_SIZE, NUM_HASHES, 0, "", _memo=memo
+                )
+                for f in pdf["feats"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feats": pdf["feats"],
+                    "bf_indices": [o[0] for o in out],
+                    "collision_fraction": [o[1] for o in out],
+                }
+            )
+
+    return df.mapInPandas(
+        kernel,
+        "doc_id long, feats array<string>, bf_indices array<int>, collision_fraction double",
     )
 
 
@@ -161,10 +186,16 @@ def _scored_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct candidate pairs sharing >=1 band key, cosine-scored (memoized)."""
+    """Distinct candidate pairs sharing >=1 band key, cosine-scored.
+
+    Memoized + materialized: four downstream queries (thresholds, match,
+    clusters, entry) reuse the pair table instead of re-running the
+    block-join — the in-session analog of the pipeline's candidates stage
+    checkpoint.
+    """
     return _memoized(
         (id(spark), sf_dir, "scored_pairs"),
-        lambda: _scored_pairs_build(spark, sf_dir),
+        lambda: _scored_pairs_build(spark, sf_dir).localCheckpoint(),
     )
 
 
@@ -315,6 +346,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("entity_id").cast("long").alias("entity_id"),
         )
 
+    def pprl_skipgrams(spark, sf_dir):
+        # skip 2-grams token[i]+token[i+2] of wrapped tokens (features.py:68-95)
+        docs = _docs(spark, sf_dir)
+        toks = F.filter(
+            F.split(F.lower("text"), r"[\s+\-_,.]+"), lambda w: w != F.lit("")
+        )
+        wrapped = F.transform(toks, lambda w: F.concat(F.lit("_"), w, F.lit("_")))
+        skips = F.flatten(
+            F.transform(
+                wrapped,
+                lambda tok: F.transform(
+                    F.sequence(F.lit(1), F.length(tok) - F.lit(2)),
+                    lambda i: F.concat(tok.substr(i, F.lit(1)), tok.substr(i + 2, F.lit(1))),
+                ),
+            )
+        )
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.array_distinct(skips)).alias("gram"),
+        )
+
+    def pprl_metaphone(spark, sf_dir):
+        # double-metaphone codes of the first 3 words (features.py:98-121);
+        # no SQL equivalent exists -> rows-only check
+        import pandas as pd
+
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.slice(F.split(F.lower("text"), r"\s+"), 1, 3).alias("words"),
+        )
+
+        def kernel(batches):
+            from pprl_spark.functions.phonetic import double_metaphone
+
+            for pdf in batches:
+                out = []
+                for doc_id, words in zip(pdf["doc_id"], pdf["words"]):
+                    codes = sorted(
+                        {
+                            c
+                            for w in words
+                            for c in double_metaphone(w)
+                            if c != ""
+                        }
+                    )
+                    for c in codes:
+                        out.append((doc_id, c))
+                yield pd.DataFrame(out, columns=["doc_id", "code"])
+
+        return docs.mapInPandas(kernel, "doc_id long, code string")
+
+    def features_native(spark, sf_dir):
+        # native labelled features (F7/F8/F9): sex from lang initial, dob
+        # derived deterministically from doc_id, misc label from source
+        from pprl_spark.functions.features import (
+            dob_feature_col,
+            misc_feature_col,
+            sex_feature_col,
+        )
+
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("lang"),
+            F.col("source"),
+            F.format_string(
+                "%04d%02d%02d",
+                F.lit(1950) + F.col("doc_id") % 60,
+                F.lit(1) + F.col("doc_id") % 12,
+                F.lit(1) + F.col("doc_id") % 28,
+            ).alias("dob"),
+        )
+        feats = F.concat(
+            sex_feature_col("lang"),
+            dob_feature_col("dob"),
+            misc_feature_col("source", label="src"),
+        )
+        return docs.select("doc_id", F.explode(feats).alias("feat"))
+
+    def text_jaro_winkler(spark, sf_dir):
+        # JW similarity between consecutive docs' first 12 words — kernel
+        # parity with DuckDB's jaro_winkler_similarity (fuzz-verified)
+        import pandas as pd
+
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.array_join(F.slice(F.split(F.lower("text"), r"\s+"), 1, 12), " ").alias("t"),
+        )
+        nxt = docs.select(
+            (F.col("doc_id") - 1).alias("doc_id"), F.col("t").alias("t2")
+        )
+        pairs = docs.join(nxt, "doc_id")
+
+        def kernel(batches):
+            from pprl_spark.functions.similarity import jaro_winkler
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "jw": [
+                            round(jaro_winkler(a, b), 6)
+                            for a, b in zip(pdf["t"], pdf["t2"])
+                        ],
+                    }
+                )
+
+        return pairs.mapInPandas(kernel, "doc_id long, jw double")
+
+    def dedup_minhash(spark, sf_dir):
+        from pprl_spark.operators.dedup import minhash_near_duplicates
+
+        out = minhash_near_duplicates(
+            _docs(spark, sf_dir), k=2, threshold=0.4, bands=4, rows_per_band=2
+        )
+        return out.select(
+            F.col("id1").cast("long"),
+            F.col("id2").cast("long"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+
+    def dedup_simhash(spark, sf_dir):
+        from pprl_spark.operators.dedup import simhash_col
+
+        return _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            simhash_col("text", bits=32, k=2).alias("simhash"),
+        )
+
     def dedup_exact(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         norm = docs.select(
@@ -367,6 +526,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_thresholds": pprl_thresholds,
         "pprl_mutual_best_match": pprl_mutual_best_match,
         "pprl_clusters": pprl_clusters,
+        "pprl_skipgrams": pprl_skipgrams,
+        "pprl_metaphone": pprl_metaphone,
+        "features_native": features_native,
+        "text_jaro_winkler": text_jaro_winkler,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
         "dedup_exact": dedup_exact,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
@@ -520,7 +685,114 @@ SELECT * FROM ranked WHERE rank <= 5
         + ")::BIGINT AS bucket FROM embeddings"
     )
 
+    skipgrams_sql = r"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         ['_' || w || '_' FOR w IN list_filter(
+            regexp_split_to_array(lower(text), '[\s+\-_,.]+'), w -> w <> '')] AS ts
+  FROM documents
+)
+SELECT doc_id,
+       unnest(list_distinct(flatten(
+         [[t[i:i] || t[i+2:i+2] FOR i IN range(1, len(t) - 1)] FOR t IN ts]
+       ))) AS gram
+FROM toks
+"""
+
+    features_native_sql = """
+SELECT doc_id::BIGINT AS doc_id, unnest([
+  'sex<' || substring(lower(lang), 1, 1) || '>',
+  'day<' || printf('%02d', 1 + doc_id % 28) || '>',
+  'month<' || printf('%02d', 1 + doc_id % 12) || '>',
+  'year<' || printf('%04d', 1950 + doc_id % 60) || '>',
+  'src<' || lower(source) || '>'
+]) AS feat FROM documents
+"""
+
+    jw_sql = r"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         array_to_string(regexp_split_to_array(lower(text), '\s+')[1:12], ' ') AS t12
+  FROM documents
+)
+SELECT a.doc_id, round(jaro_winkler_similarity(a.t12, b.t12), 6) AS jw
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+    # shared shingle-hash CTE for the minhash/simhash dedup oracles:
+    # k=2 word shingles -> rolling hash (base 31 mod 1e9+7), deduped
+    sh_cte = rf"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))] END AS sgl
+  FROM w
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([
+           list_reduce([0::BIGINT] || [ascii(c) FOR c IN string_split(s, '')],
+                       (a, x) -> (a * {TXT.HASH_BASE} + x) % {TXT.HASH_MOD})
+           FOR s IN sgl]) AS sh
+  FROM shingled
+)
+"""
+
+    from pprl_spark.operators.blocking import minhash_coeffs as _mc
+
+    def _dedup_band(b: int, r: int = 2) -> str:
+        parts = []
+        for i in range(r):
+            j = b * r + i
+            a, bb = _mc(j + 1)[j]
+            parts.append(
+                f"list_min([({a} * x + {bb}) % {MINHASH_PRIME} FOR x IN sh])::VARCHAR"
+            )
+        return f"('b{b}:' || '-' || " + " || '-' || ".join(parts) + ")"
+
+    dedup_minhash_sql = (
+        sh_cte
+        + ", blocks AS (SELECT doc_id, sh, unnest(["
+        + ", ".join(_dedup_band(b) for b in range(4))
+        + """]) AS bk FROM sh),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.sh AS sh1, r.sh AS sh2
+  FROM blocks l JOIN blocks r USING (bk) WHERE l.doc_id < r.doc_id
+),
+scored AS (
+  SELECT id1, id2,
+         len(list_intersect(sh1, sh2))::DOUBLE
+           / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))) AS j
+  FROM pairs
+)
+SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.4
+"""
+    )
+
+    simhash_bits = []
+    for j in range(32):
+        simhash_bits.append(
+            f"CASE WHEN list_reduce([0] || [CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END FOR h IN sh], (a, x) -> a + x) > 0 THEN {2 ** j} ELSE 0 END"
+        )
+    dedup_simhash_sql = (
+        sh_cte
+        + "SELECT doc_id, ("
+        + " + ".join(simhash_bits)
+        + ")::BIGINT AS simhash FROM sh"
+    )
+
     return {
+        "pprl_skipgrams": skipgrams_sql,
+        "features_native": features_native_sql,
+        "text_jaro_winkler": jw_sql,
+        "dedup_minhash": dedup_minhash_sql,
+        "dedup_simhash": dedup_simhash_sql,
+        # pprl_metaphone: intentionally no oracle (no SQL double-metaphone)
         "pprl_tokenize_bigrams": grams_exploded,
         "pprl_bloom_embed": bloom_embed,
         "pprl_bloom_stats": bloom_stats,

@@ -1,137 +1,17 @@
-"""Spark-facing feature extraction: one vectorized embed UDF + native columns.
+"""Native (JVM-side) feature extraction columns.
 
-Design: the reference runs one pandas ``Series.apply`` per configured
-column, then a per-row union, then a per-row hashing loop
-(`/root/reference/src/pprl/embedder/embedder.py:435-462`). Naively mapping
-that onto Spark would mean one Python round-trip per column. Instead we
-make **one** Arrow round-trip per batch: the caller packs all configured
-field columns into a single struct, and :func:`make_embed_udf` returns a
-pandas UDF that, per batch, runs the token kernels per field, unions per
-row (`embedder.py:449-454` semantics), and Bloom-hashes with a per-batch
-memo (`bloom_filters.py:69-79` semantics). Everything else in the
-pipeline (field extraction from spans, norms, blocking keys, scoring)
-stays JVM-side in built-in functions.
+The Python embed kernel lives in ``operators.embedding`` as a
+``mapInPandas`` operator (one Arrow round-trip per batch, per-batch hash
+memo). This module holds the feature semantics that ARE expressible as
+built-in Spark columns — they stay inside whole-stage codegen and power
+the purely relational queries and their DuckDB oracles
+(SURVEY.md §2.3 F1/F7-F9).
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-from pprl_spark.config import EmbedderConfig
-from pprl_spark.functions import tokens
-from pprl_spark.functions.hashing import bloom_indices_with_collisions
-
-EMBED_RESULT_TYPE = T.StructType(
-    [
-        T.StructField("features", T.ArrayType(T.StringType())),
-        T.StructField("bf_indices", T.ArrayType(T.IntegerType())),
-        T.StructField("collision_fraction", T.DoubleType()),
-    ]
-)
-
-
-def make_embed_udf(config: EmbedderConfig):
-    """Build the embed pandas UDF for a config.
-
-    Input: a struct column whose fields are the colspec field values
-    (string). Output: struct(features, bf_indices, collision_fraction).
-
-    The UDF closure captures only the (small, JSON-serializable) config —
-    cheap to pickle per task; no driver-side globals.
-    """
-    colspec = dict(config.colspec)
-    ff_args = {k: dict(v) for k, v in config.ff_args.items()}
-    bf_size, num_hashes, offset, salt = (
-        config.bf_size,
-        config.num_hashes,
-        config.offset,
-        config.salt,
-    )
-
-    @F.pandas_udf(EMBED_RESULT_TYPE)
-    def embed(fields: pd.DataFrame) -> pd.DataFrame:
-        kernels = tokens.FEATURE_KERNELS
-        # resolve per-field kernel + kwargs once per batch
-        plan = []
-        for field, ftype in colspec.items():
-            if field not in fields.columns:
-                continue
-            kw = dict(ff_args.get(ftype, {}))
-            if ftype in ("misc", "shingled"):
-                kw.setdefault("label", field)
-            plan.append((field, kernels[ftype], kw))
-
-        memo: dict = {}  # feature -> hash indices, shared across the batch
-        n = len(fields)
-        out_features: list[list[str]] = [None] * n  # type: ignore[list-item]
-        out_indices: list[list[int]] = [None] * n  # type: ignore[list-item]
-        out_collisions: list[float] = [0.0] * n
-
-        cols = {field: fields[field].to_numpy() for field, _, _ in plan}
-        for i in range(n):
-            per_col = []
-            for field, kernel, kw in plan:
-                v = cols[field][i]
-                if v is not None and not isinstance(v, str):
-                    v = None if v != v else v  # NaN -> None
-                per_col.append(kernel(v, **kw))
-            feats = tokens.union_features(per_col)
-            idx, coll = bloom_indices_with_collisions(
-                feats, bf_size, num_hashes, offset, salt, _memo=memo
-            )
-            out_features[i] = sorted(feats)
-            out_indices[i] = idx
-            out_collisions[i] = coll
-
-        return pd.DataFrame(
-            {
-                "features": out_features,
-                "bf_indices": out_indices,
-                "collision_fraction": out_collisions,
-            }
-        )
-
-    return embed
-
-
-def make_bloom_udf(
-    bf_size: int = 1024, num_hashes: int = 2, offset: int = 0, salt: str = ""
-):
-    """Pandas UDF: array<string> features -> struct(bf_indices, collision).
-
-    The standalone hashing half of the embed UDF, for queries that build
-    feature arrays natively (e.g. bigram_col) and only need the
-    parity-exact SHA-256 Bloom mapping (`bloom_filters.py:44-81`).
-    """
-    out_type = T.StructType(
-        [
-            T.StructField("bf_indices", T.ArrayType(T.IntegerType())),
-            T.StructField("collision_fraction", T.DoubleType()),
-        ]
-    )
-
-    @F.pandas_udf(out_type)
-    def bloom(features: pd.Series) -> pd.DataFrame:
-        memo: dict = {}
-        idx_out, coll_out = [], []
-        for feats in features:
-            idx, coll = bloom_indices_with_collisions(
-                feats if feats is not None else [],
-                bf_size,
-                num_hashes,
-                offset,
-                salt,
-                _memo=memo,
-            )
-            idx_out.append(idx)
-            coll_out.append(coll)
-        return pd.DataFrame({"bf_indices": idx_out, "collision_fraction": coll_out})
-
-    return bloom
-
 
 # ---------------------------------------------------------------------------
 # Native (JVM-side, codegen'd) single-field feature columns. These mirror the

@@ -51,9 +51,15 @@ def minhash_col(indices_col: Column | str, num_perm: int) -> Column:
     return F.array(*sigs)
 
 
-def lsh_band_keys(indices_col: Column | str, config: EmbedderConfig) -> Column:
-    """array<string> of LSH band keys, e.g. ``mh0:123-456-789``."""
-    sig = minhash_col(indices_col, config.minhash_perms)
+def band_keys_from_signature(sig: Column, config: EmbedderConfig) -> Column:
+    """array<string> of LSH band keys from a *materialized* signature column.
+
+    The signature must be a plain column reference (not the minhash
+    expression itself): Catalyst expressions are trees, so feeding the
+    raw ``minhash_col`` expression here would re-evaluate all ``perms``
+    array transforms once per ``getItem`` — O(perms²) array scans per row
+    (measured 10x slow-down of the whole blocking stage).
+    """
     r = config.rows_per_band
     keys = []
     for band in range(config.minhash_bands):
@@ -97,7 +103,10 @@ def add_block_keys(
     """Add ``block_keys array<string>`` to an embedded documents frame."""
     keys: list[Column] = []
     if use_lsh:
-        keys.append(lsh_band_keys("bf_indices", config))
+        # materialize the signature once, then slice it (see
+        # band_keys_from_signature for why this two-step shape matters)
+        df = df.withColumn("_sig", minhash_col("bf_indices", config.minhash_perms))
+        keys.append(band_keys_from_signature(F.col("_sig"), config))
     if use_sorted_neighborhood:
         cols = {f: F.col(f) for f in config.colspec if f in df.columns}
         sn = sorted_neighborhood_keys(cols)
@@ -108,10 +117,20 @@ def add_block_keys(
     merged = keys[0]
     for k in keys[1:]:
         merged = F.concat(merged, k)
-    # drop keys derived from entirely-missing fields (they contain '||' runs)
-    return df.withColumn("block_keys", F.array_distinct(merged))
+    return df.withColumn("block_keys", F.array_distinct(merged)).drop("_sig")
 
 
-def explode_blocks(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(block_key, doc...) — one row per (document, key)."""
-    return df.withColumn("block_key", F.explode("block_keys")).drop("block_keys")
+def explode_blocks(
+    df: DataFrame, id_col: str = "doc_id", extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(id, bf_indices, block_key) — one row per (document, key).
+
+    Projects down to the columns the candidate join actually needs BEFORE
+    exploding: each document emits ~10 keys, so every extra column is
+    duplicated ~10x through the explode and any downstream shuffle or
+    checkpoint. Carrying the ~150-string ``features`` array here measured
+    ~6x slower blocking at 40k docs; at 10^12 docs it would dominate the
+    stage table entirely.
+    """
+    cols = [id_col, "bf_indices", *(extra_cols or [])]
+    return df.select(*cols, F.explode("block_keys").alias("block_key"))

@@ -41,12 +41,50 @@ def _similarity_expr(sim: str):
     raise ValueError(f"unknown similarity {sim!r}")
 
 
+def cap_blocks(
+    blocks: DataFrame,
+    config: EmbedderConfig,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministically thin oversized blocks to ~max_block_size docs.
+
+    Celebrity keys (a shared surname+postcode at web scale) produce
+    blocks whose pair count grows quadratically — one 10^6-doc block is
+    10^12 pairs on its own. Each doc in a block of size n survives with
+    probability 1/ceil(n/cap) via a keyed hash — no window/sort needed,
+    just a broadcast of the (hot-key -> factor) dim table and a map-side
+    filter. Deterministic across runs and partitionings. True matches
+    inside thinned blocks are still covered by the (selectivity-bounded)
+    MinHash band keys, which are never the oversized ones unless the
+    corpus is degenerate; the F1 gate validates the net effect.
+    """
+    cap = config.max_block_size
+    if not cap:
+        return blocks
+    hot = (
+        blocks.groupBy("block_key")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > cap)
+        .withColumn("_factor", F.ceil(F.col("_n") / F.lit(cap)).cast("long"))
+        .select("block_key", "_factor")
+    )
+    return (
+        blocks.join(F.broadcast(hot), "block_key", "left")
+        .where(
+            F.col("_factor").isNull()
+            | (F.pmod(F.xxhash64("block_key", id_col), F.col("_factor")) == 0)
+        )
+        .drop("_factor")
+    )
+
+
 def generate_candidates(
     blocks1: DataFrame,
     blocks2: DataFrame | None,
     config: EmbedderConfig,
     id_col: str = "doc_id",
     score: bool = True,
+    cap: bool = True,
 ) -> DataFrame:
     """Join exploded block tables into scored candidate pairs.
 
@@ -54,6 +92,10 @@ def generate_candidates(
     with ``id1 < id2``. Output: (id1, id2, block_key, sim?) with one row
     per distinct pair.
     """
+    if cap:
+        blocks1 = cap_blocks(blocks1, config, id_col)
+        if blocks2 is not None:
+            blocks2 = cap_blocks(blocks2, config, id_col)
     left = blocks1.select(
         F.col(id_col).alias("id1"),
         F.col("bf_indices").alias("bf_indices_1"),

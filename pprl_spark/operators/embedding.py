@@ -19,8 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from pprl_spark.config import EmbedderConfig
-from pprl_spark.functions.features import make_embed_udf
 
 SPAN_ORDERED = "array_sort(transform(spans, s -> struct(s.offset as offset, s.kind as kind, s.text as text, s.media_ref as media_ref)))"
 
@@ -70,18 +71,77 @@ def embed_documents(
     Returns ``keep + colspec fields + features + bf_indices + bf_norm +
     collision_fraction``. ``anonymise``-style projection
     (`embedder.py:160-181`) is a plain ``select`` on the result.
+
+    The Python stage is a ``mapInPandas`` operator (not a column pandas
+    UDF): one Arrow round-trip per batch, a shared hash memo across the
+    batch, and — unlike expression-level UDFs — it cannot be dropped by
+    Spark 4.1's Python-UDF extraction on re-executed shared plans.
+    Columns not needed downstream are pruned *before* the Python stage so
+    only requested passthrough columns cross the Arrow boundary.
     """
     if not normalized:
         df = normalize_documents(df, config)
     fields = [f for f in config.colspec if f in df.columns]
-    embed_udf = make_embed_udf(config)
-    emb = df.withColumn("_emb", embed_udf(F.struct(*[F.col(f) for f in fields])))
-    emb = (
-        emb.withColumn("features", F.col("_emb.features"))
-        .withColumn("bf_indices", F.col("_emb.bf_indices"))
-        .withColumn("collision_fraction", F.col("_emb.collision_fraction"))
-        .drop("_emb")
+    if keep is not None:
+        passthrough = [c for c in dict.fromkeys(keep + fields) if c in df.columns]
+        df = df.select(*passthrough)
+
+    colspec = dict(config.colspec)
+    ff_args = {k: dict(v) for k, v in config.ff_args.items()}
+    bf_size, num_hashes, offset, salt = (
+        config.bf_size,
+        config.num_hashes,
+        config.offset,
+        config.salt,
     )
+    in_fields = [f.name for f in df.schema.fields]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("features", T.ArrayType(T.StringType())),
+            T.StructField("bf_indices", T.ArrayType(T.IntegerType())),
+            T.StructField("collision_fraction", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        from pprl_spark.functions import tokens as TK
+        from pprl_spark.functions.hashing import bloom_indices_with_collisions
+
+        kernels = TK.FEATURE_KERNELS
+        plan = []
+        for field, ftype in colspec.items():
+            if field not in in_fields:
+                continue
+            kw = dict(ff_args.get(ftype, {}))
+            if ftype in ("misc", "shingled"):
+                kw.setdefault("label", field)
+            plan.append((field, kernels[ftype], kw))
+
+        for pdf in batches:
+            memo: dict = {}
+            n = len(pdf)
+            feats_out, idx_out, coll_out = [], [], []
+            cols = {field: pdf[field].to_numpy() for field, _, _ in plan}
+            for i in range(n):
+                per_col = []
+                for field, kern, kw in plan:
+                    v = cols[field][i]
+                    if v is not None and not isinstance(v, str):
+                        v = None if v != v else v  # NaN -> None
+                    per_col.append(kern(v, **kw))
+                feats = TK.union_features(per_col)
+                idx, coll = bloom_indices_with_collisions(
+                    feats, bf_size, num_hashes, offset, salt, _memo=memo
+                )
+                feats_out.append(sorted(feats))
+                idx_out.append(idx)
+                coll_out.append(coll)
+            yield pdf.assign(
+                features=feats_out, bf_indices=idx_out, collision_fraction=coll_out
+            )
+
+    emb = df.mapInPandas(kernel, out_schema)
     # identity-SCM norm fast path (embedder.py:137-139); guard empty rows
     emb = emb.withColumn(
         "bf_norm",
