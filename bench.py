@@ -46,15 +46,23 @@ KEEP = ["doc_id", "true_id", "given_name", "surname", "date_of_birth", "sex", "a
 
 
 def bench_linkage_synthetic(spark):
-    """North-star workload: two-party linkage at input_hint shape."""
+    """North-star workload: two-party linkage at input_hint shape.
+
+    Stage outputs are materialized (localCheckpoint = in-session stand-in
+    for the pipeline's stage tables): the candidate generator derives
+    block-size dim tables from its inputs, and without a materialization
+    boundary Catalyst re-executes the embed lineage once per derivation.
+    """
     cfg = EmbedderConfig(abs_cutoff=0.3)
     A = synthesize_documents(spark, SYN_N, "A")
     B = synthesize_documents(spark, SYN_N, "B")
-    cand = generate_candidates(
-        explode_blocks(add_block_keys(embed_documents(A, cfg, keep=KEEP), cfg)),
-        explode_blocks(add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg)),
-        cfg,
-    )
+    blocks_a = explode_blocks(
+        add_block_keys(embed_documents(A, cfg, keep=KEEP), cfg)
+    ).localCheckpoint()
+    blocks_b = explode_blocks(
+        add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg)
+    ).localCheckpoint()
+    cand = generate_candidates(blocks_a, blocks_b, cfg)
     matches = mutual_best_match(cand.where(F.col("sim") >= 0.3))
     return matches.count()
 

@@ -36,11 +36,13 @@ def main() -> None:
     B = synthesize_documents(spark, n, "B", partitions=cpus).localCheckpoint()
 
     t0 = time.time()
-    cand = generate_candidates(
-        explode_blocks(add_block_keys(embed_documents(A, cfg, keep=KEEP), cfg)),
-        explode_blocks(add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg)),
-        cfg,
-    )
+    blocks_a = explode_blocks(
+        add_block_keys(embed_documents(A, cfg, keep=KEEP), cfg)
+    ).localCheckpoint()
+    blocks_b = explode_blocks(
+        add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg)
+    ).localCheckpoint()
+    cand = generate_candidates(blocks_a, blocks_b, cfg)
     n_matches = mutual_best_match(cand.where(F.col("sim") >= 0.3)).count()
     elapsed = time.time() - t0
     print(json.dumps({"cpus": cpus, "n_per_source": n, "matches": n_matches,

@@ -29,16 +29,18 @@ def run(cpus: int, n: int) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
-    lo = run(8, n)
-    hi = run(32, n)
-    eff = (lo["elapsed_sec"] / hi["elapsed_sec"]) / (32 / 8)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    lo_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    hi_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * lo_cores
+    lo = run(lo_cores, n)
+    hi = run(hi_cores, n)
+    eff = (lo["elapsed_sec"] / hi["elapsed_sec"]) / (hi_cores / lo_cores)
     result = {
         "n_per_source": n,
-        "local8_sec": lo["elapsed_sec"],
-        "local32_sec": hi["elapsed_sec"],
-        "local8_docs_per_sec": lo["docs_per_sec"],
-        "local32_docs_per_sec": hi["docs_per_sec"],
+        f"local{lo_cores}_sec": lo["elapsed_sec"],
+        f"local{hi_cores}_sec": hi["elapsed_sec"],
+        f"local{lo_cores}_docs_per_sec": lo["docs_per_sec"],
+        f"local{hi_cores}_docs_per_sec": hi["docs_per_sec"],
         "speedup": round(lo["elapsed_sec"] / hi["elapsed_sec"], 2),
         "scaling_efficiency": round(eff, 3),
         "matches_equal": lo["matches"] == hi["matches"],
