@@ -1,0 +1,78 @@
+"""Document-table readers/writers: parquet (default), JSON, CSV.
+
+Source parity with the reference (SURVEY.md §2.1): S1/S2 JSON read/write
+(`/root/reference/scripts/server.py:89-97`, `matching/local.py:26-30`),
+S3 all-string CSV read (`src/pprl/app/__init__.py:63`). The reference
+reads flat per-party tables; here flat records are lifted into the
+input_hint spans shape so every downstream stage sees one document model.
+On a cluster the parquet paths are replaced by Iceberg tables
+(``spark.read.table``) — same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pprl_spark.sources.synthetic import DOCS_SCHEMA
+
+
+def read_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a documents table already in input_hint shape."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "json":
+        # S1 analog: pd.read_json -> spark.read.json with the fixed schema
+        # (never inferSchema in production: one pass, stable types)
+        return spark.read.schema(DOCS_SCHEMA).json(path)
+    raise ValueError(f"unsupported documents format: {fmt}")
+
+
+def write_documents(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S2 analog: persist outputs (JSON for reference-compat, parquet default)."""
+    writer = df.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported documents format: {fmt}")
+
+
+def lift_flat_records(
+    df: DataFrame, id_col: str, field_cols: list[str], keep: list[str] | None = None
+) -> DataFrame:
+    """Lift a flat per-field table (reference CSV/JSON shape) into spans.
+
+    Each configured field becomes a ``field=value`` text span in column
+    order (offset = position), mirroring FIXTURES.md §1. Null fields are
+    kept as empty payloads so offsets stay stable.
+    """
+    spans = F.array(
+        *[
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit(f"{c}="), F.coalesce(F.col(c).cast("string"), F.lit(""))).alias(
+                    "text"
+                ),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(i).alias("offset"),
+            )
+            for i, c in enumerate(field_cols)
+        ]
+    )
+    cols = [F.col(id_col).cast("string").alias("doc_id"), spans.alias("spans")]
+    for k in keep or []:
+        cols.append(F.col(k))
+    return df.select(*cols)
+
+
+def read_flat_csv(
+    spark: SparkSession, path: str, id_col: str, field_cols: list[str]
+) -> DataFrame:
+    """S3 analog: all-string CSV (dtype=str + fillna("") semantics) -> spans."""
+    raw = spark.read.option("header", "true").csv(path)  # all columns string
+    filled = raw.select(
+        *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in raw.columns]
+    )
+    return lift_flat_records(filled, id_col, field_cols)
