@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from pprl_spark.config import EmbedderConfig
 from pprl_spark.functions.features import bigram_col
 from pprl_spark.functions import text as TXT
 from pprl_spark.operators import ann as ANN
@@ -474,6 +473,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simhash_col("text", bits=32, k=2).alias("simhash"),
         )
 
+    def dedup_embedding(spark, sf_dir):
+        from pprl_spark.operators.dedup import embedding_near_duplicates
+
+        out = embedding_near_duplicates(
+            _embeddings(spark, sf_dir), dim=64, threshold=0.4, n_planes=8
+        )
+        return out.select(
+            F.col("id1").cast("long"),
+            F.col("id2").cast("long"),
+            F.round("cos", 6).alias("cos"),
+        )
+
     def dedup_exact(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         norm = docs.select(
@@ -532,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_jaro_winkler": text_jaro_winkler,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
         "dedup_exact": dedup_exact,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
@@ -786,7 +798,23 @@ SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.4
         + ")::BIGINT AS simhash FROM sh"
     )
 
+    dedup_embedding_sql = (
+        "WITH b AS (SELECT vec_id::BIGINT AS vec_id, embedding, ("
+        + " + ".join(plane_terms)
+        + """)::BIGINT AS bucket FROM embeddings),
+s AS (
+  SELECT l.vec_id AS id1, r.vec_id AS id2,
+         list_reduce([0.0] || [l.embedding[k+1]::DOUBLE * r.embedding[k+1]::DOUBLE FOR k IN range(0, len(l.embedding))], (x, y) -> x + y)
+         / (sqrt(list_reduce([0.0] || [l.embedding[k+1]::DOUBLE * l.embedding[k+1]::DOUBLE FOR k IN range(0, len(l.embedding))], (x, y) -> x + y))
+            * sqrt(list_reduce([0.0] || [r.embedding[k+1]::DOUBLE * r.embedding[k+1]::DOUBLE FOR k IN range(0, len(r.embedding))], (x, y) -> x + y))) AS cos
+  FROM b l JOIN b r ON l.vec_id < r.vec_id AND bit_count(xor(l.bucket, r.bucket)) <= 1
+)
+SELECT id1, id2, round(cos, 6) AS cos FROM s WHERE cos >= 0.4
+"""
+    )
+
     return {
+        "dedup_embedding": dedup_embedding_sql,
         "pprl_skipgrams": skipgrams_sql,
         "features_native": features_native_sql,
         "text_jaro_winkler": jw_sql,

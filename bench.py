@@ -62,8 +62,8 @@ def bench_linkage_synthetic(spark):
     blocks_b = explode_blocks(
         add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg)
     ).localCheckpoint()
-    cand = generate_candidates(blocks_a, blocks_b, cfg)
-    matches = mutual_best_match(cand.where(F.col("sim") >= 0.3))
+    cand = generate_candidates(blocks_a, blocks_b, cfg, min_sim=cfg.abs_cutoff)
+    matches = mutual_best_match(cand)
     return matches.count()
 
 

@@ -85,12 +85,19 @@ def generate_candidates(
     id_col: str = "doc_id",
     score: bool = True,
     cap: bool = True,
+    min_sim: float | None = None,
 ) -> DataFrame:
     """Join exploded block tables into scored candidate pairs.
 
     ``blocks2=None`` means self-linkage (dedup): pairs within one table
     with ``id1 < id2``. Output: (id1, id2, block_key, sim?) with one row
     per distinct pair.
+
+    ``min_sim`` prunes scored pairs BEFORE the pair-dedupe exchange: the
+    filter runs map-side on the join output, so sub-cutoff pairs (the
+    vast majority under LSH banding) never hit the shuffle. Pass the
+    pipeline's abs_cutoff here when downstream masking would drop them
+    anyway (P4, `embedder.py:276`).
     """
     if cap:
         blocks1 = cap_blocks(blocks1, config, id_col)
@@ -163,7 +170,12 @@ def generate_candidates(
             .withColumn("sim", _similarity_expr(config.similarity))
             .drop("_isect", "bf_indices_1", "bf_indices_2")
         )
-        # a pair sharing k block keys appears k times with equal sim
+        if min_sim is not None:
+            pairs = pairs.where(F.col("sim") >= F.lit(min_sim))
+        # a pair sharing k block keys appears k times with equal sim; the
+        # dedupe is REQUIRED before mutual-best ranking (duplicate rows of
+        # one pair could take rank 1 in the two windows independently and
+        # lose the pair), and it shuffles only scalars
         return pairs.groupBy("id1", "id2").agg(
             F.min("block_key").alias("block_key"), F.first("sim").alias("sim")
         )

@@ -166,6 +166,51 @@ def simhash_col(text_col: str, bits: int = 32, k: int = 2) -> Column:
     return acc
 
 
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets.
+
+    Vectors sharing a sign-bucket (plus hamming-1 probes) are candidate
+    near-dups; exact cosine verifies. Same bucket machinery as
+    ``operators.ann.lsh_topk`` — at 10^12 vectors the bucket join replaces
+    the quadratic scan. All JVM-side.
+    """
+    from pprl_spark.operators.ann import cosine, lsh_bucket_key
+
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_key(F.col(vec_col), dim, n_planes).alias("b0"),
+    )
+    probes = base.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
+        ).alias("bucket"),
+    )
+    anchored = base.select("vec_id", "v", F.col("b0").alias("bucket"))
+    pairs = (
+        anchored.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"), "bucket")
+        .join(
+            probes.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"), "bucket"),
+            "bucket",
+        )
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("cos", cosine(F.col("v1"), F.col("v2")))
+        .where(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+        .dropDuplicates(["id1", "id2"])
+    )
+    return pairs
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",

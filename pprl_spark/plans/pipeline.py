@@ -192,7 +192,10 @@ def run_linkage(
     blk_a = pipe.stage("block_a", lambda: explode_blocks(add_block_keys(emb_a, config)))
     blk_b = pipe.stage("block_b", lambda: explode_blocks(add_block_keys(emb_b, config)))
 
-    cand = pipe.stage("candidates", lambda: generate_candidates(blk_a, blk_b, config))
+    cand = pipe.stage(
+        "candidates",
+        lambda: generate_candidates(blk_a, blk_b, config, min_sim=config.abs_cutoff),
+    )
 
     if use_thresholds:
         thr_a = pipe.stage(

@@ -42,8 +42,8 @@ def main() -> None:
     blocks_b = explode_blocks(
         add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg)
     ).localCheckpoint()
-    cand = generate_candidates(blocks_a, blocks_b, cfg)
-    n_matches = mutual_best_match(cand.where(F.col("sim") >= 0.3)).count()
+    cand = generate_candidates(blocks_a, blocks_b, cfg, min_sim=cfg.abs_cutoff)
+    n_matches = mutual_best_match(cand).count()
     elapsed = time.time() - t0
     print(json.dumps({"cpus": cpus, "n_per_source": n, "matches": n_matches,
                       "elapsed_sec": round(elapsed, 2),
