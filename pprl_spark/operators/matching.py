@@ -92,24 +92,40 @@ def apply_thresholds(
 def mutual_best_match(candidates: DataFrame, rounds: int = 1) -> DataFrame:
     """Keep pairs that are each other's best candidate (rank 1 both ways).
 
-    Deterministic tie-break on the partner id keeps re-runs byte-stable.
-    Window partitions are per-document (small), so no skew concern.
+    Implemented as two hash AGGREGATIONS, not ranking windows: per-side
+    best = ``min(struct(-sim, partner_id))`` (deterministic tie-break:
+    highest sim, then smallest partner id), then an equi-join of the two
+    best tables on the pair. Unlike ``row_number`` windows — which sort
+    the full pair table twice — aggregations combine map-side, so the
+    exchange carries ~one row per document instead of one per candidate
+    pair (measured 17.6M pairs -> 200k rows at 100k docs/source).
+    Semantically identical to rank-1-both-ways.
 
-    ``rounds > 1`` re-runs the ranking on the residual pairs after
+    ``rounds > 1`` re-runs the reduction on the residual pairs after
     removing matched documents — the distributed analog of greedy
     assignment by descending similarity, converging toward the Hungarian
-    solution on chain conflicts (a's best taken by someone better) at the
-    cost of one window pass + two anti-joins per extra round.
+    solution on chain conflicts (a's best taken by someone better).
     """
 
     def one_round(cand: DataFrame) -> DataFrame:
-        w1 = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
-        w2 = Window.partitionBy("id2").orderBy(F.desc("sim"), F.asc("id1"))
+        keyed = cand.select(
+            "id1",
+            "id2",
+            F.struct((-F.col("sim")).alias("ns"), F.col("id2").alias("pid")).alias("k1"),
+            F.struct((-F.col("sim")).alias("ns"), F.col("id1").alias("pid")).alias("k2"),
+        )
+        best1 = keyed.groupBy("id1").agg(F.min("k1").alias("k1"))
+        best2 = keyed.groupBy("id2").agg(F.min("k2").alias("k2"))
         return (
-            cand.withColumn("_r1", F.row_number().over(w1))
-            .withColumn("_r2", F.row_number().over(w2))
-            .where((F.col("_r1") == 1) & (F.col("_r2") == 1))
-            .drop("_r1", "_r2")
+            best1.select(
+                "id1",
+                F.col("k1.pid").alias("id2"),
+                (-F.col("k1.ns")).alias("sim"),
+            )
+            .join(
+                best2.select(F.col("k2.pid").alias("id1"), "id2"),
+                ["id1", "id2"],
+            )
         )
 
     matched = one_round(candidates)
