@@ -107,25 +107,31 @@ def mutual_best_match(candidates: DataFrame, rounds: int = 1) -> DataFrame:
     solution on chain conflicts (a's best taken by someone better).
     """
 
+    def packed(partner: str):
+        # (quantized sim, partner-hash) packed into ONE long: max() over it
+        # is a codegen HashAggregate with map-side partial combine — a
+        # min/max over struct(sim, id) plans as SortAggregate (full sort
+        # before the partial agg) and max_by likewise; packing avoids the
+        # sort entirely. 2^30 sim quanta dominate; low 24 bits break ties
+        # deterministically by partner hash.
+        q = F.round(F.col("sim") * F.lit(1_073_741_824)).cast("long")
+        h = F.pmod(F.xxhash64(partner), F.lit(1 << 24))
+        return F.shiftleft(q, 24) + h
+
     def one_round(cand: DataFrame) -> DataFrame:
-        keyed = cand.select(
-            "id1",
-            "id2",
-            F.struct((-F.col("sim")).alias("ns"), F.col("id2").alias("pid")).alias("k1"),
-            F.struct((-F.col("sim")).alias("ns"), F.col("id1").alias("pid")).alias("k2"),
+        p = cand.select(
+            "id1", "id2", "sim",
+            packed("id2").alias("pk1"),
+            packed("id1").alias("pk2"),
         )
-        best1 = keyed.groupBy("id1").agg(F.min("k1").alias("k1"))
-        best2 = keyed.groupBy("id2").agg(F.min("k2").alias("k2"))
+        best1 = p.groupBy("id1").agg(F.max("pk1").alias("pk1"))
+        best2 = p.groupBy("id2").agg(F.max("pk2").alias("pk2"))
+        # AQE broadcasts the best tables when small; at cluster scale they
+        # are one-row-per-doc and the joins stay shuffle hash joins
         return (
-            best1.select(
-                "id1",
-                F.col("k1.pid").alias("id2"),
-                (-F.col("k1.ns")).alias("sim"),
-            )
-            .join(
-                best2.select(F.col("k2.pid").alias("id1"), "id2"),
-                ["id1", "id2"],
-            )
+            p.join(best1, ["id1", "pk1"])
+            .join(best2, ["id2", "pk2"])
+            .select("id1", "id2", "sim")
         )
 
     matched = one_round(candidates)
