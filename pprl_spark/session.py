@@ -43,10 +43,17 @@ def get_spark(
         # measured best. Override via PPRL_DRIVER_MEMORY.
         .config(
             "spark.driver.memory",
-            os.environ.get("PPRL_DRIVER_MEMORY", f"{max(2, 1 + n_threads // 4)}g"),
+            os.environ.get("PPRL_DRIVER_MEMORY", f"{max(3, 1 + n_threads // 4)}g"),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Arrow's JNI critical sections starve G1 allocations under load
+        # ("Retried waiting for GCLocker too often"); raising the retry
+        # budget is the standard mitigation (JDK-8192647 era guidance)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
