@@ -35,15 +35,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # Keep the heap LEAN but scale it with threads: in this container a
-        # larger heap is strictly slower when idle capacity exists (30k-doc
-        # linkage, local[32]: 2g -> 35s, 8g -> 86s, 16g -> 104s — fresh-page
-        # faults + GC dwarf the work), yet 16+ threads allocating Arrow
-        # batches on 2g hit GCLocker starvation. ~256m/thread + 1g floor
-        # measured best. Override via PPRL_DRIVER_MEMORY.
+        # Keep the heap LEAN: in this container a larger heap is strictly
+        # slower when headroom exists (30k-doc linkage, local[32]: 2g ->
+        # 35s, 8g -> 86s, 16g -> 104s — fresh-page faults + GC dwarf the
+        # work), while 16+ threads allocating Arrow batches on 2g hit
+        # GCLocker starvation. Empirical table from the 100k-doc sweep:
+        # <=8 threads -> 2g, >8 -> 5g. Override via PPRL_DRIVER_MEMORY.
         .config(
             "spark.driver.memory",
-            os.environ.get("PPRL_DRIVER_MEMORY", f"{max(3, 1 + n_threads // 4)}g"),
+            os.environ.get("PPRL_DRIVER_MEMORY", "2g" if n_threads <= 8 else "5g"),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
