@@ -473,6 +473,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simhash_col("text", bits=32, k=2).alias("simhash"),
         )
 
+    def dedup_ngram_jaccard(spark, sf_dir):
+        from pprl_spark.operators.dedup import ngram_jaccard_pairs
+
+        out = ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=0.2)
+        return out.select(
+            F.col("id1").cast("long"),
+            F.col("id2").cast("long"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+
     def dedup_embedding(spark, sf_dir):
         from pprl_spark.operators.dedup import embedding_near_duplicates
 
@@ -543,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_jaro_winkler": text_jaro_winkler,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
         "dedup_exact": dedup_exact,
         "text_stats": text_stats,
@@ -813,8 +824,29 @@ SELECT id1, id2, round(cos, 6) AS cos FROM s WHERE cos >= 0.4
 """
     )
 
+
+    dedup_ngram_sql = sh_cte.replace(
+        "SELECT doc_id::BIGINT AS doc_id,",
+        "SELECT doc_id::BIGINT AS doc_id, lang,", 1
+    ).replace(
+        "SELECT doc_id,\n         CASE WHEN len(w) < 2",
+        "SELECT doc_id, lang,\n         CASE WHEN len(w) < 2", 1
+    ).replace(
+        "SELECT doc_id,\n         list_distinct([",
+        "SELECT doc_id, lang,\n         list_distinct([", 1
+    ) + """
+, scored AS (
+  SELECT l.doc_id AS id1, r.doc_id AS id2,
+         len(list_intersect(l.sh, r.sh))::DOUBLE
+           / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS j
+  FROM sh l JOIN sh r ON l.lang = r.lang AND l.doc_id < r.doc_id
+)
+SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.2
+"""
+
     return {
         "dedup_embedding": dedup_embedding_sql,
+        "dedup_ngram_jaccard": dedup_ngram_sql,
         "pprl_skipgrams": skipgrams_sql,
         "features_native": features_native_sql,
         "text_jaro_winkler": jw_sql,
