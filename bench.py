@@ -13,7 +13,7 @@ Headline suite:
   north-star workload;
 - dedup / text-analysis / ANN sweeps.
 
-Scaling-efficiency runs (local[8] vs local[32]) are produced by
+Scaling-efficiency runs (N vs 4N cores) are produced by
 ``tools/bench_scaling.py`` and recorded in BENCH/BASELINE.md.
 """
 
