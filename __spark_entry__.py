@@ -825,24 +825,26 @@ SELECT id1, id2, round(cos, 6) AS cos FROM s WHERE cos >= 0.4
     )
 
 
-    dedup_ngram_sql = sh_cte.replace(
-        "SELECT doc_id::BIGINT AS doc_id,",
-        "SELECT doc_id::BIGINT AS doc_id, lang,", 1
-    ).replace(
-        "SELECT doc_id,\n         CASE WHEN len(w) < 2",
-        "SELECT doc_id, lang,\n         CASE WHEN len(w) < 2", 1
-    ).replace(
-        "SELECT doc_id,\n         list_distinct([",
-        "SELECT doc_id, lang,\n         list_distinct([", 1
-    ) + """
-, scored AS (
-  SELECT l.doc_id AS id1, r.doc_id AS id2,
-         len(list_intersect(l.sh, r.sh))::DOUBLE
-           / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS j
-  FROM sh l JOIN sh r ON l.lang = r.lang AND l.doc_id < r.doc_id
+    # ngram-Jaccard now defaults to MinHash band candidates (8 bands, r=2 —
+    # the operator's scale-safe default); exact Jaccard is the verifier
+    dedup_ngram_sql = (
+        sh_cte
+        + ", blocks AS (SELECT doc_id, sh, unnest(["
+        + ", ".join(_dedup_band(b) for b in range(8))
+        + """]) AS bk FROM sh),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.sh AS sh1, r.sh AS sh2
+  FROM blocks l JOIN blocks r USING (bk) WHERE l.doc_id < r.doc_id
+),
+scored AS (
+  SELECT id1, id2,
+         len(list_intersect(sh1, sh2))::DOUBLE
+           / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))) AS j
+  FROM pairs
 )
 SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.2
 """
+    )
 
     return {
         "dedup_embedding": dedup_embedding_sql,

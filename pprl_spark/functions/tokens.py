@@ -148,29 +148,81 @@ def dob_features(
     """Parse a date string -> `["day<dd>", "month<mm>", "year<YYYY>"]`.
 
     Semantics of features.py:250-290 (format string at :284, default []
-    at :254). ``dayfirst``/``yearfirst`` control ambiguous d/m order as in
-    pd.to_datetime; unparseable -> ``default``.
+    at :254). The reference coerces anything
+    ``pd.to_datetime(errors="coerce", dayfirst=..., yearfirst=...)``
+    accepts — month names, 2-digit years, "3 Jan 2012". Fast path: the
+    three numeric shapes covering FEBRL-style data, parsed with plain
+    regexes (no pandas per row). Anything else falls back to a per-value
+    ``pd.to_datetime`` call — byte parity with the reference by
+    construction (pandas ships with pyspark executors; the lazy import
+    costs nothing on the fast path). Property-tested against the pandas
+    oracle over generated date strings (tests/test_tokens.py), mirroring
+    the reference's random-date test (test/embedder/test_features.py:248).
     """
     if default is None:
         default = []
     if value is None or value == "":
         return list(default)
     value = value.strip()
+    if value == "":
+        return list(default)
     for pat in _DATE_PATTERNS:
         m = pat.match(value)
         if m:
             d, mo, y = int(m.group("d")), int(m.group("m")), int(m.group("y"))
-            if not dayfirst and pat is _DATE_PATTERNS[1]:
-                # dd/mm pattern reinterpreted as mm/dd
-                d, mo = mo, d
-            if not (1 <= d <= 31 and 1 <= mo <= 12):
-                # pd.to_datetime(errors="coerce") tries the swap; mimic
-                if 1 <= mo <= 31 and 1 <= d <= 12:
+            if pat is _DATE_PATTERNS[1]:
+                if not dayfirst:
+                    # dd/mm pattern reinterpreted as mm/dd
                     d, mo = mo, d
-                else:
-                    return list(default)
-            return [f"day<{d:02d}>", f"month<{mo:02d}>", f"year<{y:04d}>"]
-    return list(default)
+                if not (1 <= mo <= 12) and 1 <= d <= 12:
+                    # pd.to_datetime(errors="coerce") tries the swap; mimic
+                    d, mo = mo, d
+            elif pat is _DATE_PATTERNS[2] and dayfirst:
+                # pandas parses separator-form "yyyy-a-b" with dayfirst=True
+                # as year-DAY-month (swap fallback when a > 12); compact
+                # yyyymmdd (pattern 0) stays y-m-d regardless
+                d, mo = mo, d
+                if not (1 <= mo <= 12) and 1 <= d <= 12:
+                    d, mo = mo, d
+            if _valid_date(y, mo, d):
+                return [f"day<{d:02d}>", f"month<{mo:02d}>", f"year<{y:04d}>"]
+            # shape matched but not a valid date — let pandas decide
+            # (it sometimes recovers, e.g. "2001-31-12" -> 2001-12-31)
+            return _dob_features_lenient(value, dayfirst, yearfirst, default)
+    return _dob_features_lenient(value, dayfirst, yearfirst, default)
+
+
+def _valid_date(y: int, mo: int, d: int) -> bool:
+    import calendar
+
+    # fast path only for years safely inside the pandas ns-Timestamp range
+    # (1677-09-21 .. 2262-04-11): the reference's pd.to_datetime coerces
+    # out-of-range dates to NaT, and boundary years go to the slow path
+    if not (1678 <= y <= 2261 and 1 <= mo <= 12):
+        return False
+    return 1 <= d <= calendar.monthrange(y, mo)[1]
+
+
+def _dob_features_lenient(
+    value: str, dayfirst: bool, yearfirst: bool, default: list[str]
+) -> list[str]:
+    """Slow path: exact pd.to_datetime per-value coercion (features.py:281)."""
+    import pandas as pd
+
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            # pandas warns on dayfirst-inconsistent inputs it parses anyway
+            warnings.simplefilter("ignore")
+            ts = pd.to_datetime(
+                value, errors="coerce", dayfirst=dayfirst, yearfirst=yearfirst
+            )
+    except Exception:
+        return list(default)
+    if ts is pd.NaT or ts is None:
+        return list(default)
+    return [f"day<{ts.day:02d}>", f"month<{ts.month:02d}>", f"year<{ts.year:04d}>"]
 
 
 def misc_features(value: object, label: str = "misc") -> list[str] | str:
@@ -179,11 +231,18 @@ def misc_features(value: object, label: str = "misc") -> list[str] | str:
     Exact reproduction of features.py:293-330: non-missing values are
     stringified then casefolded and wrapped; missing data becomes the
     scalar empty string which "disappears later" at feature-union time
-    (chain.from_iterable over "" yields nothing, features.py:328).
+    (chain.from_iterable over "" yields nothing, features.py:328). The
+    reference's missing sentinel is the literal string "no_data"
+    (replace("" -> "no_data").fillna("no_data"), features.py:316-317), so
+    a *real* value that casefolds to "no_data" is also coded as missing —
+    quirk preserved for parity.
     """
     if value is None or value == "":
         return ""
-    return [f"{label}<{str(value).casefold()}>"]
+    wrapped = str(value).casefold()
+    if wrapped == "no_data":
+        return ""
+    return [f"{label}<{wrapped}>"]
 
 
 def shingled_features(

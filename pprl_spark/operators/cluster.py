@@ -19,8 +19,12 @@ size.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -46,6 +50,7 @@ def connected_components(
         .withColumn("entity_id", F.col("doc_id"))
     )
 
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("doc_id", "v"), "v")
@@ -57,12 +62,23 @@ def connected_components(
             .withColumn("_new", F.least(F.col("entity_id"), F.col("_nmin")))
             .withColumn("_new", F.coalesce(F.col("_new"), F.col("entity_id")))
         )
+        if checkpoint_each:
+            # eager checkpoint FIRST, then derive the convergence check from
+            # the checkpointed frame: one execution of the join/agg per
+            # iteration (the check is a cheap scan of materialized rows)
+            updated = updated.localCheckpoint()
         changed = updated.where(F.col("_new") != F.col("entity_id")).limit(1).count()
         labels = updated.select("doc_id", F.col("_new").alias("entity_id"))
-        if checkpoint_each:
-            labels = labels.localCheckpoint()
         if changed == 0:
             break
+    if changed != 0:
+        # a component whose diameter exceeds the budget would otherwise get
+        # silently split into several entity_ids
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds budget); raise "
+            "max_iterations"
+        )
     return labels
 
 

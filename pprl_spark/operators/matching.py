@@ -197,7 +197,9 @@ def _hungarian_max(sim: "list[list[float]]") -> list[tuple[int, int]]:
     return pairs
 
 
-def assignment_match_in_blocks(candidates: DataFrame) -> DataFrame:
+def assignment_match_in_blocks(
+    candidates: DataFrame, resolve_conflicts: bool = True, resolve_rounds: int = 3
+) -> DataFrame:
     """Exact optimal assignment within each block via applyInPandas.
 
     Groups the scored pair table by ``block_key``; inside each (small)
@@ -205,6 +207,17 @@ def assignment_match_in_blocks(candidates: DataFrame) -> DataFrame:
     kernel, exactly as the reference does globally (`embedder.py:280-284`)
     — blocking makes "globally" affordable. Pairs absent from the
     candidate table score −inf for the optimizer and are never returned.
+
+    A document's candidate pairs can span several blocks, so per-block
+    solves may assign the same document twice — violating the reference's
+    global one-to-one contract (`embedder.py:282`). With
+    ``resolve_conflicts`` (default) the per-block assignments are collapsed
+    (max-sim per pair) and passed through ``resolve_rounds`` of greedy
+    mutual-best selection: each round's output is one-to-one by
+    construction (rank-1 both directions) and later rounds only see
+    documents unmatched so far, so the final output is GUARANTEED globally
+    one-to-one — safe to chain into ``add_private_index``. Within a block
+    the solution stays Hungarian-optimal; across blocks it is greedy.
 
     If a boolean ``masked`` column is present (``apply_thresholds`` with
     ``mode="flag"``), the optimizer sees the raw sims and masked
@@ -236,6 +249,12 @@ def assignment_match_in_blocks(candidates: DataFrame) -> DataFrame:
         ]
         return pd.DataFrame(rows, columns=["id1", "id2", "sim", "block_key"])
 
-    return candidates.groupBy("block_key").applyInPandas(
+    solved = candidates.groupBy("block_key").applyInPandas(
         solve, schema="id1 string, id2 string, sim double, block_key string"
     )
+    if not resolve_conflicts:
+        return solved
+    deduped = solved.groupBy("id1", "id2").agg(
+        F.max("sim").alias("sim"), F.min("block_key").alias("block_key")
+    )
+    return mutual_best_match(deduped, rounds=resolve_rounds)

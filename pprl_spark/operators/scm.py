@@ -33,9 +33,11 @@ from pprl_spark.config import EmbedderConfig
 def nearest_pos_semi_definite(X: np.ndarray, eps: float = 0.0) -> np.ndarray:
     """Eigenvalue clipping — semantics of embedder.py:712-739."""
     C = (X + X.T) / 2
-    eigval, eigvec = np.linalg.eig(C)
+    # eigh, not eig: C is symmetric by construction — real-valued and ~10x
+    # faster than the general eigensolver at B=1024
+    eigval, eigvec = np.linalg.eigh(C)
     eigval[eigval < 0] = eps
-    return np.real(eigvec.dot(np.diag(eigval)).dot(eigvec.T))
+    return eigvec.dot(np.diag(eigval)).dot(eigvec.T)
 
 
 def joint_freq_counts(pairs: DataFrame) -> DataFrame:
@@ -78,6 +80,9 @@ def train_scm(
     pass the previous freq matrices as priors (embedder.py:631-636).
     """
     size = config.bf_size + config.offset
+    # global Window.orderBy is acceptable HERE only: the input is the known
+    # matched pairs (training data, thousands of rows, collected to the
+    # driver as a B×B matrix right below anyway) — never the corpus
     w = Window.orderBy(F.xxhash64("bf_indices_1", F.lit(seed)))
     w2 = Window.orderBy(F.xxhash64("bf_indices_2", F.lit(seed + 1)))
     numbered = aligned.select(
@@ -122,6 +127,65 @@ def scm_score_udf(scm: np.ndarray):
         return pd.Series(out)
 
     return score
+
+
+def scm_to_sparse(scm: np.ndarray) -> "pd.DataFrame":
+    """Dense SCM -> (i, j, val) float64 triples of the non-zero cells.
+
+    The on-disk interchange format: small enough to commit as a fixture
+    (B² ≈ 1M rows at B=1024) and directly queryable by any SQL engine for
+    oracle-side reproduction of the quadratic form x1ᵀ A x2.
+    """
+    ii, jj = np.nonzero(scm)
+    return pd.DataFrame(
+        {"i": ii.astype(np.int32), "j": jj.astype(np.int32), "val": scm[ii, jj].astype(np.float64)}
+    )
+
+
+def save_scm(scm: np.ndarray, path: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(scm_to_sparse(scm)), path)
+
+
+def load_scm(path: str, size: int) -> np.ndarray:
+    """Sparse parquet triples -> dense float64 matrix (float64 on purpose:
+    the scorer's per-pair sums must agree with a SQL oracle summing doubles
+    to 6 decimal places; float32 accumulation drifts past that)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    A = np.zeros((size, size), dtype=np.float64)
+    A[t["i"].to_numpy(), t["j"].to_numpy()] = t["val"].to_numpy()
+    return A
+
+
+def soft_cosine_pairs_map(
+    pairs: DataFrame, scm: np.ndarray, out_col: str = "sim"
+) -> DataFrame:
+    """mapInPandas variant of :func:`soft_cosine_pairs`.
+
+    A logical operator rather than pandas-UDF columns: Spark 4.1 can skip
+    Python-UDF extraction on re-executed plans that share subtrees, leaving
+    a raw PythonUDF inside a codegen Project — mapInPandas cannot be missed.
+    Keeps all input columns and appends ``out_col``.
+    """
+    A = np.asarray(scm, dtype=np.float64)
+    schema = pairs.schema.add(out_col, T.DoubleType())
+
+    def kernel(batches):
+        for pdf in batches:
+            out = np.empty(len(pdf))
+            for k, (a, b) in enumerate(zip(pdf["bf_indices_1"], pdf["bf_indices_2"])):
+                ia, ib = np.asarray(a), np.asarray(b)
+                n1 = np.sqrt(A[np.ix_(ia, ia)].sum())
+                n2 = np.sqrt(A[np.ix_(ib, ib)].sum())
+                denom = n1 * n2
+                out[k] = A[np.ix_(ia, ib)].sum() / denom if denom > 0 else np.nan
+            yield pdf.assign(**{out_col: out})
+
+    return pairs.mapInPandas(kernel, schema)
 
 
 def soft_cosine_pairs(pairs: DataFrame, scm: np.ndarray) -> DataFrame:

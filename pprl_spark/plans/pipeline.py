@@ -107,12 +107,20 @@ class IcebergStageIO:
 
 @dataclass
 class Pipeline:
-    """Stage orchestrator: run/skip/commit + metrics."""
+    """Stage orchestrator: run/skip/commit + metrics.
+
+    ``run_params_hash`` folds run-level parameters and an input fingerprint
+    into the resume key: the embedder checksum alone would let a re-run
+    with different ``match_rounds``/``use_thresholds``/input data silently
+    reuse stale stage tables. ``deps`` invalidates downstream stages when
+    any upstream stage was re-executed this run.
+    """
 
     spark: SparkSession
     config: EmbedderConfig
     io: ParquetStageIO
     run_id: str = "run-0"
+    run_params_hash: str = ""
     executed: list[str] = field(default_factory=list)
     skipped: list[str] = field(default_factory=list)
 
@@ -121,10 +129,12 @@ class Pipeline:
         name: str,
         build: Callable[[], DataFrame],
         extra: dict[str, str] | None = None,
+        deps: list[str] | None = None,
     ) -> DataFrame:
-        checksum = self.config.checksum
+        checksum = f"{self.config.checksum}:{self.run_params_hash}"
         man = self.io.manifest(name)
-        if man is not None and man.get("config_hash") == checksum:
+        upstream_fresh = not any(d in self.executed for d in (deps or []))
+        if man is not None and man.get("config_hash") == checksum and upstream_fresh:
             self.skipped.append(name)
             return self.io.read(self.spark, name)
 
@@ -168,6 +178,50 @@ class Pipeline:
         return self.spark.read.parquet(os.path.join(self.io.base, "_metrics"))
 
 
+def _input_fingerprint(df: DataFrame) -> str:
+    """Cheap, *session-stable* input identity for the resume key.
+
+    File-backed inputs hash their file list (catches "same base dir,
+    different input tables"). Otherwise the analyzed plan STRING with
+    expression ids stripped: ``Dataset.semanticHash`` is NOT usable here —
+    its expr-id canonicalization is per-JVM, so the same logical input
+    hashes differently across sessions and every resume would rebuild.
+    No Spark action in either path.
+    """
+    import hashlib
+    import re
+
+    try:
+        files = df.inputFiles()
+        if files:
+            return hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()[:16]
+    except Exception:
+        pass
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()  # type: ignore[union-attr]
+        canon = re.sub(r"#\d+", "#x", plan)
+        return hashlib.md5(canon.encode()).hexdigest()[:16]
+    except Exception:
+        return hashlib.md5(str(df.schema).encode()).hexdigest()[:16]
+
+
+def _scm_rescore(cand: DataFrame, emb_a: DataFrame, emb_b: DataFrame, scm) -> DataFrame:
+    """Re-score candidate pairs with a trained SCM (soft cosine).
+
+    Joins the Bloom index arrays back onto the *surviving* pairs (the
+    binary-cosine min_sim prune already ran, so the expensive quadratic
+    form touches only plausible pairs) and replaces ``sim``. The reference
+    computes this for every cell of the dense N×M matrix
+    (`embedder.py:568-645`); here it runs per candidate pair.
+    """
+    from pprl_spark.operators.scm import soft_cosine_pairs_map
+
+    ia = emb_a.select(F.col("doc_id").alias("id1"), F.col("bf_indices").alias("bf_indices_1"))
+    ib = emb_b.select(F.col("doc_id").alias("id2"), F.col("bf_indices").alias("bf_indices_2"))
+    joined = cand.drop("sim").join(ia, "id1").join(ib, "id2")
+    return soft_cosine_pairs_map(joined, scm).drop("bf_indices_1", "bf_indices_2")
+
+
 def run_linkage(
     spark: SparkSession,
     config: EmbedderConfig,
@@ -178,36 +232,81 @@ def run_linkage(
     use_thresholds: bool = False,
     match_rounds: int = 1,
     keep: list[str] | None = None,
+    scm=None,
 ) -> Pipeline:
     """The full staged DAG (SURVEY.md §7.2): embed -> block -> candidates
-    [-> thresholds] -> match -> cluster, each stage checkpointed.
+    [-> scm rescore] [-> thresholds] -> match -> cluster, each stage
+    checkpointed.
+
+    ``scm``: optional trained soft-cosine matrix (``operators.scm.
+    train_scm``). When given, candidate and self-candidate pairs are
+    re-scored with the trained quadratic form — the reference's headline
+    trained-linkage path (`embedder.py:568-645`) — before thresholding and
+    matching.
     """
+    import hashlib
+
     keep = keep or ["doc_id", "true_id", "given_name", "surname", "date_of_birth", "sex", "address", "postcode"]
     io = ParquetStageIO(base_dir)
-    pipe = Pipeline(spark, config, io, run_id)
+
+    scm_tag = ""
+    if scm is not None:
+        scm_tag = hashlib.md5(scm.astype("float64").tobytes()).hexdigest()[:12]
+    params = (
+        f"thr={int(use_thresholds)};rounds={match_rounds};scm={scm_tag};"
+        f"in={_input_fingerprint(docs_a)},{_input_fingerprint(docs_b)}"
+    )
+    pipe = Pipeline(
+        spark, config, io, run_id,
+        run_params_hash=hashlib.md5(params.encode()).hexdigest()[:16],
+    )
 
     emb_a = pipe.stage("embed_a", lambda: embed_documents(docs_a, config, keep=keep))
     emb_b = pipe.stage("embed_b", lambda: embed_documents(docs_b, config, keep=keep))
 
-    blk_a = pipe.stage("block_a", lambda: explode_blocks(add_block_keys(emb_a, config)))
-    blk_b = pipe.stage("block_b", lambda: explode_blocks(add_block_keys(emb_b, config)))
+    blk_a = pipe.stage(
+        "block_a", lambda: explode_blocks(add_block_keys(emb_a, config)), deps=["embed_a"]
+    )
+    blk_b = pipe.stage(
+        "block_b", lambda: explode_blocks(add_block_keys(emb_b, config)), deps=["embed_b"]
+    )
 
     cand = pipe.stage(
         "candidates",
         lambda: generate_candidates(blk_a, blk_b, config, min_sim=config.abs_cutoff),
+        deps=["block_a", "block_b"],
     )
+    if scm is not None:
+        cand = pipe.stage(
+            "scm_scored",
+            lambda: _scm_rescore(cand, emb_a, emb_b, scm),
+            deps=["candidates"],
+        )
 
     if use_thresholds:
+        def self_pairs(blk, emb):
+            p = generate_candidates(blk, None, config)
+            return _scm_rescore(p, emb, emb, scm) if scm is not None else p
+
         thr_a = pipe.stage(
-            "thresholds_a", lambda: row_thresholds(generate_candidates(blk_a, None, config))
+            "thresholds_a",
+            lambda: row_thresholds(self_pairs(blk_a, emb_a)),
+            deps=["block_a"],
         )
         thr_b = pipe.stage(
-            "thresholds_b", lambda: row_thresholds(generate_candidates(blk_b, None, config))
+            "thresholds_b",
+            lambda: row_thresholds(self_pairs(blk_b, emb_b)),
+            deps=["block_b"],
         )
         masked = apply_thresholds(cand, thr_a, thr_b, config)
     else:
         masked = cand.where(F.col("sim") >= F.lit(config.abs_cutoff))
 
-    matches = pipe.stage("matches", lambda: mutual_best_match(masked, rounds=match_rounds))
-    pipe.stage("clusters", lambda: clusters_from_matches(matches))
+    match_deps = ["scm_scored" if scm is not None else "candidates"]
+    if use_thresholds:
+        match_deps += ["thresholds_a", "thresholds_b"]
+    matches = pipe.stage(
+        "matches", lambda: mutual_best_match(masked, rounds=match_rounds), deps=match_deps
+    )
+    pipe.stage("clusters", lambda: clusters_from_matches(matches), deps=["matches"])
     return pipe

@@ -130,3 +130,43 @@ def test_sex_features_shape(value):
     out = tokens.sex_features(value)
     assert isinstance(out, list) and len(out) == 1
     assert out[0] == "" or (out[0].startswith("sex<") and out[0].endswith(">"))
+
+
+def test_misc_features_no_data_sentinel():
+    # features.py:316-328: replace(""->"no_data").fillna("no_data") then
+    # label<no_data> -> "" — a LITERAL no_data value is coded as missing
+    assert tokens.misc_features("no_data") == ""
+    assert tokens.misc_features("NO_DATA") == ""
+    assert tokens.misc_features("nodata") == ["misc<nodata>"]
+
+
+# ---------------------------------------------------------------------------
+# lenient date parsing parity: mirror of the reference's random-date
+# property test (test/embedder/test_features.py:248-262) against the
+# pd.to_datetime oracle the reference delegates to (features.py:281)
+# ---------------------------------------------------------------------------
+
+_DATE_FORMATS = [
+    "%Y%m%d", "%d/%m/%Y", "%d-%m-%Y", "%d.%m.%Y", "%Y-%m-%d", "%Y/%m/%d",
+    "%d %b %Y", "%d %B %Y", "%b %d %Y", "%B %d, %Y",
+    "%d/%m/%y", "%m/%d/%Y", "%Y-%d-%m",
+]
+
+
+@given(
+    st.dates(),
+    st.sampled_from(_DATE_FORMATS),
+    st.booleans(),
+)
+def test_dob_features_pandas_parity(date, fmt, dayfirst):
+    import pandas as pd
+
+    value = date.strftime(fmt)
+    got = tokens.dob_features(value, dayfirst=dayfirst)
+    ts = pd.to_datetime(value, errors="coerce", dayfirst=dayfirst)
+    expected = (
+        []
+        if ts is pd.NaT
+        else [f"day<{ts.day:02d}>", f"month<{ts.month:02d}>", f"year<{ts.year:04d}>"]
+    )
+    assert got == expected, (value, fmt, dayfirst)
