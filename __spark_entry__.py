@@ -198,6 +198,46 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutually-best matches (rank 1 both directions) over the pair table."""
+    pairs = _scored_pairs(spark, sf_dir)
+    w1 = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
+    w2 = Window.partitionBy("id2").orderBy(F.desc("sim"), F.asc("id1"))
+    return (
+        pairs.withColumn("r1", F.row_number().over(w1))
+        .withColumn("r2", F.row_number().over(w2))
+        .where((F.col("r1") == 1) & (F.col("r2") == 1))
+        .select("id1", "id2", "sim")
+    )
+
+
+FIXTURES_DIR = "/root/repo/fixtures"
+SCM_FIXTURE = f"{FIXTURES_DIR}/scm_sf001.parquet"
+
+
+def _sync_scm_fixture(A) -> None:
+    """Persist the trained SCM as sparse triples iff it changed.
+
+    The oracle SQL reproduces the quadratic form from this dump; training
+    is deterministic (seeded shuffles, eigh on fixed input), so the
+    committed fixture normally matches byte-for-byte and no write happens.
+    """
+    import os
+
+    import numpy as np
+
+    from pprl_spark.operators.scm import load_scm, save_scm
+
+    os.makedirs(FIXTURES_DIR, exist_ok=True)
+    if os.path.exists(SCM_FIXTURE):
+        try:
+            if np.array_equal(load_scm(SCM_FIXTURE, A.shape[0]), A):
+                return
+        except Exception:
+            pass
+    save_scm(A, SCM_FIXTURE)
+
+
 # ---------------------------------------------------------------------------
 # SQL oracle building blocks
 # ---------------------------------------------------------------------------
@@ -327,14 +367,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return both.groupBy("doc_id").agg(F.round(F.max("sim"), 6).alias("threshold"))
 
     def pprl_mutual_best_match(spark, sf_dir):
-        pairs = _scored_pairs(spark, sf_dir)
-        w1 = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
-        w2 = Window.partitionBy("id2").orderBy(F.desc("sim"), F.asc("id1"))
-        return (
-            pairs.withColumn("r1", F.row_number().over(w1))
-            .withColumn("r2", F.row_number().over(w2))
-            .where((F.col("r1") == 1) & (F.col("r2") == 1))
-            .select("id1", "id2", "sim")
+        return _mutual_best(spark, sf_dir)
+
+    def pprl_scm_scored(spark, sf_dir):
+        # trained-SCM (soft cosine) scoring end-to-end: train on the
+        # mutually-best matched pairs (seeded — the reference trains on
+        # known matches, embedder.py:568-645), dump the sparse matrix for
+        # the oracle, score the same pairs with the trained quadratic form
+        import numpy as np
+
+        from pprl_spark.config import EmbedderConfig
+        from pprl_spark.operators.scm import soft_cosine_pairs_map, train_scm
+
+        emb = _embedded(spark, sf_dir)
+        ia = emb.select(F.col("doc_id").alias("id1"), F.col("bf_indices").alias("bf_indices_1"))
+        ib = emb.select(F.col("doc_id").alias("id2"), F.col("bf_indices").alias("bf_indices_2"))
+        m = _mutual_best(spark, sf_dir).select("id1", "id2")
+        aligned = m.join(ia, "id1").join(ib, "id2").localCheckpoint()
+        trained = train_scm(
+            aligned.select("bf_indices_1", "bf_indices_2"),
+            EmbedderConfig(bf_size=BF_SIZE, num_hashes=NUM_HASHES),
+            seed=42,
+        )
+        A = trained["scm"].astype(np.float64)
+        _sync_scm_fixture(A)
+        # score a deterministic 1/37 sample of the candidate pairs (the
+        # corpus is near-dup-dense: 81k of 81.6k pairs clear sim>=0.5, and
+        # the SQL oracle's quadratic form costs |pairs|·|bf|² — sampling
+        # keeps it tractable while covering the whole sim spectrum); the
+        # arithmetic predicate is reproduced exactly in the oracle
+        cand = (
+            _scored_pairs(spark, sf_dir)
+            .where(F.col("sim") >= 0.5)
+            .where((F.col("id1") * 1000003 + F.col("id2")) % 37 == 0)
+            .select("id1", "id2")
+            .join(ia, "id1")
+            .join(ib, "id2")
+        )
+        out = soft_cosine_pairs_map(cand, A, out_col="scm_sim")
+        return out.select(
+            F.col("id1").cast("long").alias("id1"),
+            F.col("id2").cast("long").alias("id2"),
+            F.round("scm_sim", 6).alias("scm_sim"),
+        )
+
+    def pprl_assignment(spark, sf_dir):
+        # exact per-block Hungarian assignment (reference embedder.py:280-284
+        # semantics, blocked); sim >= 0.5 keeps the dense per-block matrices
+        # small — the realistic shape: assignment runs on plausible pairs
+        from pprl_spark.operators.matching import assignment_match_in_blocks
+
+        blocks = _blocked(spark, sf_dir)
+        left = blocks.select(
+            F.col("doc_id").cast("string").alias("id1"), F.col("bf_indices").alias("bf1"), "block_key"
+        )
+        right = blocks.select(
+            F.col("doc_id").cast("string").alias("id2"), F.col("bf_indices").alias("bf2"), "block_key"
+        )
+        pairs = (
+            left.join(right, "block_key")
+            .where(F.col("id1").cast("long") < F.col("id2").cast("long"))
+            .withColumn(
+                "sim",
+                F.size(F.array_intersect("bf1", "bf2")).cast("double")
+                / (F.sqrt(F.size("bf1")) * F.sqrt(F.size("bf2"))),
+            )
+            .where(F.col("sim") >= 0.5)
+            .select("id1", "id2", "block_key", "sim")
+            .dropDuplicates(["id1", "id2", "block_key"])
+        )
+        out = assignment_match_in_blocks(pairs)
+        return out.select(
+            F.col("id1").cast("long").alias("id1"),
+            F.col("id2").cast("long").alias("id2"),
+            F.round("sim", 6).alias("sim"),
         )
 
     def pprl_clusters(spark, sf_dir):
@@ -546,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_score_pairs": pprl_score_pairs,
         "pprl_thresholds": pprl_thresholds,
         "pprl_mutual_best_match": pprl_mutual_best_match,
+        "pprl_scm_scored": pprl_scm_scored,
+        "pprl_assignment": pprl_assignment,
         "pprl_clusters": pprl_clusters,
         "pprl_skipgrams": pprl_skipgrams,
         "pprl_metaphone": pprl_metaphone,
@@ -590,17 +698,60 @@ SELECT doc_id, round(max(sim), 6) AS threshold FROM (
 """
     )
 
-    mutual_sql = (
-        SQL_PAIRS
-        + """
+    ranked_cte = """
 , ranked AS (
   SELECT id1, id2, sim,
          row_number() OVER (PARTITION BY id1 ORDER BY sim DESC, id2 ASC) AS r1,
          row_number() OVER (PARTITION BY id2 ORDER BY sim DESC, id1 ASC) AS r2
   FROM pairs
 )
-SELECT id1, id2, sim FROM ranked WHERE r1 = 1 AND r2 = 1
 """
+    mutual_sql = (
+        SQL_PAIRS + ranked_cte + "SELECT id1, id2, sim FROM ranked WHERE r1 = 1 AND r2 = 1"
+    )
+
+    # trained-SCM quadratic form x1ᵀ A x2 / (‖x1‖_A · ‖x2‖_A) reproduced from
+    # the sparse matrix the Spark query dumps (embedder.py:519 with trained
+    # scm; cells absent from the dump are exact zeros)
+    scm_scored_sql = (
+        SQL_PAIRS
+        + f"""
+, m AS (SELECT id1, id2 FROM pairs
+        WHERE sim >= 0.5 AND (id1 * 1000003 + id2) % 37 = 0),
+ids AS (SELECT id1 AS d FROM m UNION SELECT id2 FROM m),
+docs_idx AS (
+  SELECT p.doc_id, unnest(p.bf) AS ix FROM per_doc p JOIN ids ON p.doc_id = ids.d
+),
+scm AS (SELECT i, j, val FROM read_parquet('{SCM_FIXTURE}')),
+norms AS (
+  SELECT a.doc_id, sqrt(sum(s.val)) AS nrm
+  FROM docs_idx a JOIN docs_idx b USING (doc_id)
+  JOIN scm s ON s.i = a.ix AND s.j = b.ix
+  GROUP BY a.doc_id
+),
+num AS (
+  SELECT m.id1, m.id2, sum(s.val) AS numer
+  FROM m
+  JOIN docs_idx a ON a.doc_id = m.id1
+  JOIN docs_idx b ON b.doc_id = m.id2
+  JOIN scm s ON s.i = a.ix AND s.j = b.ix
+  GROUP BY m.id1, m.id2
+)
+SELECT n.id1, n.id2, round(n.numer / nullif(n1.nrm * n2.nrm, 0), 6) AS scm_sim
+FROM num n
+JOIN norms n1 ON n1.doc_id = n.id1
+JOIN norms n2 ON n2.doc_id = n.id2
+"""
+    )
+
+    # golden-table oracles: expected outputs precomputed at sf0.01 by
+    # tools/build_fixtures.py and committed (DuckDB cannot run
+    # double-metaphone or the Hungarian algorithm natively)
+    metaphone_sql = (
+        f"SELECT doc_id, code FROM read_parquet('{FIXTURES_DIR}/metaphone_sf001.parquet')"
+    )
+    assignment_sql = (
+        f"SELECT id1, id2, sim FROM read_parquet('{FIXTURES_DIR}/assignment_sf001.parquet')"
     )
 
     clusters_sql = (
@@ -854,7 +1005,9 @@ SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.2
         "text_jaro_winkler": jw_sql,
         "dedup_minhash": dedup_minhash_sql,
         "dedup_simhash": dedup_simhash_sql,
-        # pprl_metaphone: intentionally no oracle (no SQL double-metaphone)
+        "pprl_metaphone": metaphone_sql,
+        "pprl_scm_scored": scm_scored_sql,
+        "pprl_assignment": assignment_sql,
         "pprl_tokenize_bigrams": grams_exploded,
         "pprl_bloom_embed": bloom_embed,
         "pprl_bloom_stats": bloom_stats,

@@ -172,7 +172,11 @@ def soft_cosine_pairs_map(
     Keeps all input columns and appends ``out_col``.
     """
     A = np.asarray(scm, dtype=np.float64)
-    schema = pairs.schema.add(out_col, T.DoubleType())
+    # copy, don't .add(): StructType.add mutates the DataFrame's cached
+    # schema object, corrupting pairs.columns
+    schema = T.StructType(
+        list(pairs.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
 
     def kernel(batches):
         for pdf in batches:

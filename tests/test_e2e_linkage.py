@@ -56,3 +56,52 @@ def test_clusters(spark, linked):
     # matched pairs are 1:1 -> every component has exactly 2 docs
     sizes = clusters.groupBy("entity_id").count().select("count").distinct().collect()
     assert {r["count"] for r in sizes} == {2}
+
+
+def test_trained_scm_linkage_f1(spark, tmp_path):
+    """Trained-SCM end-to-end: train on the seeded truth pairs, run the
+    full pipeline with scm rescoring (the reference's headline path,
+    embedder.py:568-645), hold the same F1 gate."""
+    from pprl_spark.operators.scm import train_scm
+    from pprl_spark.plans.pipeline import run_linkage
+
+    cfg = EmbedderConfig(abs_cutoff=0.3)
+    A = synthesize_documents(spark, N, "A").cache()
+    B = synthesize_documents(spark, N, "B").cache()
+    truth = labeled_pairs(A, B).cache()
+
+    # aligned training pairs: truth-matched rows' Bloom index arrays
+    embA = embed_documents(A, cfg, keep=KEEP)
+    embB = embed_documents(B, cfg, keep=KEEP)
+    aligned = (
+        truth.join(embA.select(F.col("doc_id").alias("id1"), F.col("bf_indices").alias("bf_indices_1")), "id1")
+        .join(embB.select(F.col("doc_id").alias("id2"), F.col("bf_indices").alias("bf_indices_2")), "id2")
+        .select("bf_indices_1", "bf_indices_2")
+    )
+    scm = train_scm(aligned, cfg, seed=11)["scm"]
+
+    pipe = run_linkage(
+        spark, cfg, A, B, str(tmp_path / "scm_run"), scm=scm, use_thresholds=False
+    )
+    assert "scm_scored" in pipe.executed
+    matches = pipe.io.read(spark, "matches")
+    tp = matches.join(truth, ["id1", "id2"]).count()
+    precision = tp / matches.count()
+    recall = tp / truth.count()
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, f"trained-SCM F1={f1:.4f} (p={precision:.4f}, r={recall:.4f})"
+
+
+def test_scm_fixture_roundtrip(tmp_path):
+    """save_scm/load_scm preserve the matrix exactly (the oracle sums the
+    same float64 values the scorer uses)."""
+    import numpy as np
+
+    from pprl_spark.operators.scm import load_scm, save_scm
+
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(32, 32)).astype(np.float32).astype(np.float64)
+    A[rng.random(A.shape) < 0.3] = 0.0
+    p = str(tmp_path / "scm.parquet")
+    save_scm(A, p)
+    assert np.array_equal(load_scm(p, 32), A)
