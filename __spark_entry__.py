@@ -133,33 +133,28 @@ def _embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _block_keys_col():
-    """MinHash band keys over bf_indices — same closed-form constants as SQL."""
-    def hasher(a: int, b: int):
-        # factory, not default-arg lambda: Spark requires 1-arg lambdas
-        return lambda x: (F.lit(a) * x.cast("long") + F.lit(b)) % F.lit(MINHASH_PRIME)
-
-    keys = []
-    coeffs = minhash_coeffs(MH_PERMS)
-    for band in range(MH_BANDS):
-        parts = []
-        for r in range(MH_ROWS):
-            a, b = coeffs[band * MH_ROWS + r]
-            parts.append(
-                F.array_min(F.transform("bf_indices", hasher(a, b))).cast("string")
-            )
-        keys.append(F.concat_ws("-", F.lit(f"mh{band}"), *parts))
-    return F.array(*keys)
-
-
 def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bf_indices, block_key): one single-pass minhash signature
+    per row (blocking.minhash_col), band keys sliced from the materialized
+    `_sig` column — same closed-form constants as the SQL oracle."""
+    from pprl_spark.operators.blocking import minhash_col
+
     emb = _embedded(spark, sf_dir)
-    return _memoized(
-        (id(spark), sf_dir, "blocked"),
-        lambda: emb.select(
-            "doc_id", "bf_indices", F.explode(_block_keys_col()).alias("block_key")
-        ),
-    )
+
+    def build():
+        sig = emb.withColumn("_sig", minhash_col("bf_indices", MH_PERMS))
+        keys = []
+        for band in range(MH_BANDS):
+            parts = [
+                F.col("_sig").getItem(band * MH_ROWS + r).cast("string")
+                for r in range(MH_ROWS)
+            ]
+            keys.append(F.concat_ws("-", F.lit(f"mh{band}"), *parts))
+        return sig.select(
+            "doc_id", "bf_indices", F.explode(F.array(*keys)).alias("block_key")
+        )
+
+    return _memoized((id(spark), sf_dir, "blocked"), build)
 
 
 def _scored_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,7 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         both = pairs.select(F.col("id1").alias("doc_id"), "sim").unionAll(
             pairs.select(F.col("id2").alias("doc_id"), "sim")
         )
-        return both.groupBy("doc_id").agg(F.round(F.max("sim"), 6).alias("threshold"))
+        return both.groupBy("doc_id").agg(F.round(F.max("sim"), 6).alias("thresholds"))
 
     def pprl_mutual_best_match(spark, sf_dir):
         return _mutual_best(spark, sf_dir)
@@ -690,7 +685,7 @@ def oracle_sql() -> dict[str, str]:
     thresholds_sql = (
         SQL_PAIRS
         + """
-SELECT doc_id, round(max(sim), 6) AS threshold FROM (
+SELECT doc_id, round(max(sim), 6) AS thresholds FROM (
   SELECT id1 AS doc_id, sim FROM pairs
   UNION ALL
   SELECT id2 AS doc_id, sim FROM pairs

@@ -40,15 +40,33 @@ def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
 
 
 def minhash_col(indices_col: Column | str, num_perm: int) -> Column:
-    """array<long> MinHash signature of an array<int> column, JVM-side."""
+    """array<long> MinHash signature of an array<int> column, JVM-side.
+
+    Single-pass: ONE ``F.aggregate`` traversal of the input array carries
+    an array<long> of running minima (``zip_with`` against the coefficient
+    arrays), instead of ``num_perm`` separate ``array_min(transform(...))``
+    scans — same arithmetic, 1/num_perm the array traversals and a
+    num_perm-times smaller codegen expression (the fix that took SimHash
+    from 17s to 2.5s at sf0.1, applied here).
+    """
     c = F.col(indices_col) if isinstance(indices_col, str) else indices_col
-    sigs = [
-        F.array_min(
-            F.transform(c, lambda x: (F.lit(a) * x.cast("long") + F.lit(b)) % F.lit(MINHASH_PRIME))
-        )
-        for a, b in minhash_coeffs(num_perm)
-    ]
-    return F.array(*sigs)
+    coeffs = minhash_coeffs(num_perm)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+    init = F.array_repeat(F.lit(None).cast("long"), num_perm)
+    return F.aggregate(
+        c,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.zip_with(
+                a_arr,
+                b_arr,
+                lambda a, b: (a * x.cast("long") + b) % F.lit(MINHASH_PRIME),
+            ),
+            lambda m, h: F.least(m, h),
+        ),
+    )
 
 
 def band_keys_from_signature(sig: Column, config: EmbedderConfig) -> Column:

@@ -14,8 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pprl_spark.functions.text import HASH_MOD, fingerprint, shingle_hashes
-from pprl_spark.operators.blocking import MINHASH_PRIME, minhash_coeffs
+from pprl_spark.functions.text import fingerprint, shingle_hashes
+from pprl_spark.operators.blocking import minhash_col
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -43,18 +43,18 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _minhash_band_key(hashes: Column, band: int, r: int) -> Column:
-    parts = []
-    coeffs = minhash_coeffs((band + 1) * r)  # one driver-side build, not per-part
-    for i in range(r):
-        j = band * r + i
-        a, b = coeffs[j]
-        parts.append(
-            F.array_min(
-                F.transform(hashes, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME))
-            ).cast("string")
-        )
-    return F.concat_ws("-", F.lit(f"b{band}:"), *parts)
+def _band_keys_from_sig(sig: Column, bands: int, r: int) -> Column:
+    """array<string> band keys from a materialized signature column.
+
+    Must be fed a plain column reference (not the minhash expression) so
+    the single-pass aggregate runs once, not once per getItem — same
+    two-step rule as blocking.band_keys_from_signature.
+    """
+    keys = []
+    for band in range(bands):
+        parts = [sig.getItem(band * r + i).cast("string") for i in range(r)]
+        keys.append(F.concat_ws("-", F.lit(f"b{band}:"), *parts))
+    return F.array(*keys)
 
 
 def minhash_candidates(
@@ -67,15 +67,19 @@ def minhash_candidates(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs over k-word shingles.
 
-    shingle -> rolling-hash int -> minhash signature -> band keys ->
-    self-join per band key with id1 < id2. Returns distinct (id1, id2)
-    with their shingle-hash arrays for downstream exact verification.
+    shingle -> rolling-hash int -> minhash signature (one single-pass
+    aggregate, see blocking.minhash_col) -> band keys -> self-join per
+    band key with id1 < id2. Returns distinct (id1, id2) with their
+    shingle-hash arrays for downstream exact verification.
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"), shingle_hashes(text_col, k).alias("sh")
-    ).where(F.size("sh") > 0)
-    keys = F.array(*[_minhash_band_key(F.col("sh"), b, rows_per_band) for b in range(bands)])
-    exploded = base.withColumn("bk", F.explode(keys))
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, k).alias("sh"))
+        .where(F.size("sh") > 0)
+        .withColumn("_sig", minhash_col(F.col("sh"), bands * rows_per_band))
+    )
+    exploded = base.withColumn(
+        "bk", F.explode(_band_keys_from_sig(F.col("_sig"), bands, rows_per_band))
+    ).drop("_sig")
     left = exploded.select(
         F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"), "bk"
     )

@@ -68,7 +68,7 @@ def embed_documents(
 ) -> DataFrame:
     """Embed a documents DataFrame into Bloom space.
 
-    Returns ``keep + colspec fields + features + bf_indices + bf_norm +
+    Returns ``keep + colspec fields + features + bf_indices + bf_norms +
     collision_fraction``. ``anonymise``-style projection
     (`embedder.py:160-181`) is a plain ``select`` on the result.
 
@@ -144,11 +144,13 @@ def embed_documents(
     emb = df.mapInPandas(kernel, out_schema)
     # identity-SCM norm fast path (embedder.py:137-139); guard empty rows
     emb = emb.withColumn(
-        "bf_norm",
+        # "bf_norms" PLURAL: the reference EDF column-naming surface
+        # (embedder.py:60-64,83-89) that update_norms()/compare() consume
+        "bf_norms",
         F.when(F.size("bf_indices") > 0, F.sqrt(F.size("bf_indices"))).otherwise(F.lit(0.0)),
     )
     if keep is not None:
-        cols = list(dict.fromkeys(keep + ["features", "bf_indices", "bf_norm", "collision_fraction"]))
+        cols = list(dict.fromkeys(keep + ["features", "bf_indices", "bf_norms", "collision_fraction"]))
         emb = emb.select(*[c for c in cols if c in emb.columns])
     return emb
 
@@ -156,6 +158,6 @@ def embed_documents(
 def anonymise(df: DataFrame, keep: list[str] | None = None) -> DataFrame:
     """Keep only safe columns — analog of EDF.anonymise (embedder.py:160-181)."""
     keep = keep or []
-    wanted = keep + ["bf_indices", "bf_norm", "bf_norms", "thresholds"]
+    wanted = keep + ["bf_indices", "bf_norms", "thresholds"]
     cols = [c for c in df.columns if c in wanted]
     return df.select(*list(dict.fromkeys(cols)))

@@ -42,7 +42,7 @@ def row_thresholds(self_candidates: DataFrame) -> DataFrame:
     both = self_candidates.select(F.col("id1").alias("doc_id"), "sim").unionAll(
         self_candidates.select(F.col("id2").alias("doc_id"), "sim")
     )
-    return both.groupBy("doc_id").agg(F.max("sim").alias("threshold"))
+    return both.groupBy("doc_id").agg(F.max("sim").alias("thresholds"))
 
 
 def apply_thresholds(
@@ -71,13 +71,13 @@ def apply_thresholds(
     out = candidates
     keep = F.col("sim") >= F.lit(config.abs_cutoff)
     if thresholds1 is not None:
-        t1 = thresholds1.select(F.col("doc_id").alias("id1"), F.col("threshold").alias("_t1"))
+        t1 = thresholds1.select(F.col("doc_id").alias("id1"), F.col("thresholds").alias("_t1"))
         out = out.join(t1, "id1", "left")
         keep = keep & (
             F.col("_t1").isNull() | (F.col("sim") >= F.col("_t1") + F.lit(config.rel_cutoff))
         )
     if thresholds2 is not None:
-        t2 = thresholds2.select(F.col("doc_id").alias("id2"), F.col("threshold").alias("_t2"))
+        t2 = thresholds2.select(F.col("doc_id").alias("id2"), F.col("thresholds").alias("_t2"))
         out = out.join(t2, "id2", "left")
         keep = keep & (
             F.col("_t2").isNull() | (F.col("sim") >= F.col("_t2") + F.lit(config.rel_cutoff))

@@ -105,7 +105,7 @@ def train_scm(
 
 
 def scm_norm_udf(scm: np.ndarray):
-    """bf_norm under a trained SCM: sqrt(sum A[ix,ix]) (embedder.py:137-139)."""
+    """bf_norms under a trained SCM: sqrt(sum A[ix,ix]) (embedder.py:137-139)."""
 
     @F.pandas_udf(T.DoubleType())
     def norm(indices: pd.Series) -> pd.Series:

@@ -87,22 +87,66 @@ class ParquetStageIO:
 class IcebergStageIO:
     """Iceberg-backed stage tables (cluster deployments).
 
-    Same contract as ParquetStageIO with stage tables as
-    ``<namespace>.<stage>`` and the manifest as Iceberg table properties
-    (config checksum + run_id on the committing snapshot). Requires the
-    iceberg-spark-runtime jars on the classpath; this container has none,
-    so constructing it raises.
+    Same contract as :class:`ParquetStageIO` (the shared method surface is
+    pinned by ``tests/test_pipeline.py::test_stageio_contract``) with stage
+    tables as ``<namespace>.<stage>`` and the manifest as an Iceberg table
+    property — Iceberg property changes commit atomically with a snapshot,
+    giving the same "manifest exists iff stage committed" semantics the
+    parquet backend gets from the atomic ``os.replace``. Requires the
+    iceberg-spark-runtime jars on the classpath (this container has none,
+    and is offline, so constructing it raises; the body below is exercised
+    only on real clusters).
     """
+
+    MANIFEST_PROP = "pprl.manifest"
 
     def __init__(self, spark: SparkSession, namespace: str):
         try:
-            spark._jvm.org.apache.iceberg.Schema  # type: ignore[union-attr]
+            # Class.forName, not attribute traversal: py4j silently returns
+            # a JavaPackage for missing classes instead of raising
+            spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.iceberg.Schema"
+            )
         except Exception as exc:  # pragma: no cover - environment gate
             raise NotImplementedError(
                 "Iceberg runtime jars not on the classpath; use ParquetStageIO "
                 "locally, or submit with --packages org.apache.iceberg:"
                 "iceberg-spark-runtime-4.0_2.13"
             ) from exc
+        self.spark = spark
+        self.namespace = namespace
+
+    def _table(self, stage: str) -> str:
+        return f"{self.namespace}.{stage}"
+
+    def manifest(self, stage: str) -> dict | None:  # pragma: no cover - needs jars
+        try:
+            rows = self.spark.sql(f"SHOW TBLPROPERTIES {self._table(stage)}").collect()
+        except Exception:
+            return None
+        props = {r["key"]: r["value"] for r in rows}
+        raw = props.get(self.MANIFEST_PROP)
+        return json.loads(raw) if raw else None
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:  # pragma: no cover
+        return spark.table(self._table(stage))
+
+    def write(self, df: DataFrame, stage: str, manifest: dict) -> None:  # pragma: no cover
+        df.writeTo(self._table(stage)).using("iceberg").createOrReplace()
+        payload = json.dumps(manifest).replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {self._table(stage)} "
+            f"SET TBLPROPERTIES ('{self.MANIFEST_PROP}' = '{payload}')"
+        )
+
+    def invalidate(self, stage: str) -> None:  # pragma: no cover - needs jars
+        try:
+            self.spark.sql(
+                f"ALTER TABLE {self._table(stage)} "
+                f"UNSET TBLPROPERTIES IF EXISTS ('{self.MANIFEST_PROP}')"
+            )
+        except Exception:
+            pass
 
 
 @dataclass

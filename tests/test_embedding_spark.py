@@ -4,7 +4,7 @@
   re-run of the same kernels (the reference-semantics oracle).
 - Span-sequence invariant: (kind, text, media_ref, order) untouched
   (BASELINE.json input_hint; FIXTURES.md §6).
-- Identity-SCM norm: bf_norm == sqrt(|bf_indices|) (embedder.py:137-139).
+- Identity-SCM norm: bf_norms == sqrt(|bf_indices|) (embedder.py:137-139).
 - Golden: "doris smith" + sex column (test_embedder.py:190-216).
 """
 
@@ -71,8 +71,8 @@ def test_span_sequence_invariant(spark, docs):
 
 def test_norm_identity_path(spark, docs):
     emb = embed_documents(docs, CFG)
-    for r in emb.select("bf_indices", "bf_norm").collect():
-        assert r["bf_norm"] == pytest.approx(math.sqrt(len(r["bf_indices"])))
+    for r in emb.select("bf_indices", "bf_norms").collect():
+        assert r["bf_norms"] == pytest.approx(math.sqrt(len(r["bf_indices"])))
 
 
 def test_collision_fraction_range(spark, docs):

@@ -68,3 +68,37 @@ def test_config_change_invalidates_checkpoints(spark, parties, tmp_path_factory)
     )
     assert not third.skipped
     assert len(third.executed) == 7
+
+
+def test_run_params_invalidate_checkpoints(spark, parties, tmp_path_factory):
+    # same config, different run params -> stale stage tables must NOT be
+    # reused (match_rounds/use_thresholds are not in the embedder checksum)
+    base = str(tmp_path_factory.mktemp("pipe_params"))
+    A, B = parties
+    cfg = EmbedderConfig(abs_cutoff=0.3)
+    run_linkage(spark, cfg, A, B, base, run_id="r1", match_rounds=1)
+    again = run_linkage(spark, cfg, A, B, base, run_id="r2", match_rounds=2)
+    assert not again.skipped
+
+    # different INPUT data, same everything else -> also a full recompute
+    C = synthesize_documents(spark, N + 10, "C").cache()
+    other = run_linkage(spark, cfg, C, B, base, run_id="r3", match_rounds=2)
+    assert not other.skipped
+
+
+def test_stageio_contract(spark):
+    """ParquetStageIO and IcebergStageIO expose the same stage-table
+    surface with identical parameter lists, so the pipeline can swap
+    backends without drift; the Iceberg backend is environment-gated."""
+    import inspect
+
+    from pprl_spark.plans.pipeline import IcebergStageIO
+
+    for method in ("manifest", "read", "write", "invalidate"):
+        p = inspect.signature(getattr(ParquetStageIO, method))
+        i = inspect.signature(getattr(IcebergStageIO, method))
+        assert list(p.parameters) == list(i.parameters), (
+            method, list(p.parameters), list(i.parameters),
+        )
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        IcebergStageIO(spark, "warehouse.pprl")
