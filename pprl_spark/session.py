@@ -24,6 +24,17 @@ def get_spark(
     n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
     n_threads = cpus if n in ("*", "") else int(n)
     if shuffle_partitions is None:
+        # Partition count must follow DATA VOLUME, not a universal
+        # multiplier: at 100k docs/source, 4x partitions-per-thread wins
+        # (local[32]: 89s @1x -> 73s @4x; local[4]: 387s -> 313s) because
+        # big blocked-join partitions interleave across contended cores —
+        # but on the small sf0.1 driver suite the same 4x rule DOUBLES
+        # total time (87s -> 165s): per-task overhead swamps tiny
+        # shuffles, worst in the iterative connected-components loop.
+        # Default = threads (right for the small scale tests run at);
+        # large jobs pass shuffle_partitions=4*cores explicitly
+        # (tools/_scale_job.py) — on a real cluster, size to
+        # data-bytes/partition (~128MB), not to core count.
         shuffle_partitions = n_threads
     builder = (
         SparkSession.builder.master(master)

@@ -29,7 +29,10 @@ KEEP = ["doc_id", "true_id", "given_name", "surname", "date_of_birth", "sex", "a
 def main() -> None:
     cpus = int(sys.argv[1])
     n = int(sys.argv[2])
-    spark = get_spark(app_name=f"scale_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # 4x partitions-per-thread measured best for this 100k-doc workload
+    # at 4/16/32 threads (local[8] prefers 1x by ~10%; see BENCH/BASELINE.md)
+    shuffle = int(os.environ.get("SPARK_SCALE_SHUFFLE", 4 * cpus))
+    spark = get_spark(app_name=f"scale_{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuffle)
     cfg = EmbedderConfig(abs_cutoff=0.3)
     # generation outside the timed section (identical input both runs)
     A = synthesize_documents(spark, n, "A", partitions=cpus).localCheckpoint()
@@ -45,7 +48,8 @@ def main() -> None:
     cand = generate_candidates(blocks_a, blocks_b, cfg, min_sim=cfg.abs_cutoff)
     n_matches = mutual_best_match(cand).count()
     elapsed = time.time() - t0
-    print(json.dumps({"cpus": cpus, "n_per_source": n, "matches": n_matches,
+    print(json.dumps({"cpus": cpus, "shuffle_partitions": shuffle,
+                      "n_per_source": n, "matches": n_matches,
                       "elapsed_sec": round(elapsed, 2),
                       "docs_per_sec": round(2 * n / elapsed, 1)}))
     spark.stop()
