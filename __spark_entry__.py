@@ -639,6 +639,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ANN.lsh_bucket_key(F.col("embedding"), 64, 8).cast("long").alias("bucket"),
         )
 
+    def ann_ivf(spark, sf_dir):
+        # IVF inverted-list search: deterministic coarse quantizer
+        # (lowest-id corpus vectors), nprobe lists per query
+        emb = _embeddings(spark, sf_dir)
+        queries_df = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        corpus = emb.where(F.col("vec_id") >= 10)
+        out = ANN.ivf_topk(corpus, queries_df, k=5, n_centroids=16, nprobe=4)
+        return out.select(
+            F.col("query_id").cast("long"),
+            F.col("vec_id").cast("long"),
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    def multimodal_meta(spark, sf_dir):
+        # binary media plumbing end-to-end: synthesize deterministic
+        # payloads (ASCII hex so a SQL oracle can reproduce the digest),
+        # extract typed metadata via the mapInPandas operator
+        import hashlib
+
+        import pandas as pd
+
+        from pprl_spark.operators.multimodal import media_metadata
+
+        docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+        def synth(batches):
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    hexd = hashlib.sha256(f"media-{did}".encode()).hexdigest()
+                    rows.append(
+                        (
+                            did,
+                            f"img://{hexd[:16]}",
+                            (hexd * (1 + did % 4)).encode(),
+                            ["image", "audio", "video"][did % 3],
+                            {
+                                "width": 64 + did % 512,
+                                "height": 64 + (did * 7) % 512,
+                                "duration_ms": (did * 33) % 10_000,
+                                "codec": ["jpeg", "opus", "h264"][did % 3],
+                            },
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "media_ref", "payload", "media_type", "meta"]
+                )
+
+        media = docs.mapInPandas(
+            synth,
+            "doc_id long, media_ref string, payload binary, media_type string, "
+            "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+        ).localCheckpoint()
+        out = media_metadata(media).join(media.select("doc_id", "media_ref"), "media_ref")
+        return out.select(
+            "doc_id",
+            "media_ref",
+            "media_type",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "payload_sha256",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+            "codec",
+        )
+
     return {
         "pprl_tokenize_bigrams": pprl_tokenize_bigrams,
         "pprl_bloom_embed": pprl_bloom_embed,
@@ -662,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "ann_topk": ann_topk,
         "ann_lsh_buckets": ann_lsh_buckets,
+        "ann_ivf": ann_ivf,
+        "multimodal_meta": multimodal_meta,
     }
 
 
@@ -841,6 +913,66 @@ ranked AS (
 SELECT * FROM ranked WHERE rank <= 5
 """
 
+    def _cos_sql(a: str, b: str) -> str:
+        # sequential list_reduce matches Spark's aggregate-over-zip_with
+        # element order, so the doubles are bit-identical
+        def sq(x, y):
+            return (
+                f"list_reduce([0.0] || [{x}[i+1]::DOUBLE * {y}[i+1]::DOUBLE "
+                f"FOR i IN range(0, len({x}))], (acc, v) -> acc + v)"
+            )
+
+        return f"({sq(a, b)} / (sqrt({sq(a, a)}) * sqrt({sq(b, b)})))"
+
+    ann_ivf_sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+cent AS (SELECT vec_id AS cent_id, cv AS centv FROM c ORDER BY vec_id LIMIT 16),
+lists AS (
+  SELECT vec_id, cv, cent_id FROM (
+    SELECT c.vec_id, c.cv, cent.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_cos_sql('cv', 'centv')} DESC, cent.cent_id ASC) AS r
+    FROM c, cent
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT q.query_id, q.qv, cent.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('qv', 'centv')} DESC, cent.cent_id ASC) AS r
+    FROM q, cent
+  ) WHERE r <= 4
+),
+scored AS (
+  SELECT probes.query_id, lists.vec_id, {_cos_sql('qv', 'cv')} AS cos
+  FROM lists JOIN probes USING (cent_id)
+),
+ranked AS (
+  SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, round(cos, 6) AS cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+    multimodal_meta_sql = """
+WITH h AS (
+  SELECT doc_id::BIGINT AS doc_id, sha256('media-' || doc_id::VARCHAR) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       'img://' || substr(hx, 1, 16) AS media_ref,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+       (64 * (1 + doc_id % 4))::BIGINT AS n_bytes,
+       sha256(repeat(hx, (1 + doc_id % 4)::INT)) AS payload_sha256,
+       (64 + doc_id % 512)::BIGINT AS width,
+       (64 + (doc_id * 7) % 512)::BIGINT AS height,
+       ((doc_id * 33) % 10000)::BIGINT AS duration_ms,
+       ['jpeg', 'opus', 'h264'][(doc_id % 3 + 1)::INT] AS codec
+FROM h
+"""
+
     plane_terms = []
     for j in range(8):
         plane_terms.append(
@@ -1015,4 +1147,6 @@ SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.2
         "text_stats": text_stats_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh_buckets": ann_lsh_sql,
+        "ann_ivf": ann_ivf_sql,
+        "multimodal_meta": multimodal_meta_sql,
     }

@@ -83,6 +83,92 @@ def lsh_bucket_key(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return key
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str | None = None,
+    cent_vec_col: str | None = None,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine.
+
+    The IVF coarse-quantization step: centroids are a small broadcast dim
+    table, the assignment is a broadcast join + per-vector ranking window
+    over n_centroids rows — one corpus scan, no shuffle of the vectors
+    themselves. Returns (id, vec, cent_id, cent_rank).
+    """
+    c = centroids.select(
+        F.col(cent_id_col or id_col).alias("cent_id"),
+        F.col(cent_vec_col or vec_col).alias("cent_vec"),
+    )
+    scored = vectors.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+    ).crossJoin(F.broadcast(c)).withColumn(
+        "_cs", cosine(F.col("_v"), F.col("cent_vec"))
+    )
+    w = Window.partitionBy("_vid").orderBy(F.desc("_cs"), F.asc("cent_id"))
+    return (
+        scored.withColumn("cent_rank", F.row_number().over(w))
+        .where(F.col("cent_rank") <= nprobe)
+        .select(
+            F.col("_vid").alias(id_col),
+            F.col("_v").alias(vec_col),
+            "cent_id",
+            "cent_rank",
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: inverted-list search via a coarse quantizer.
+
+    Corpus vectors are partitioned into ``n_centroids`` inverted lists
+    (nearest-centroid assignment); each query probes only its ``nprobe``
+    closest lists. At 10^12 vectors the list join replaces the full scan
+    with ~nprobe/n_centroids of it, and the lists are the natural
+    partitioning key for the corpus table (write bucketed by cent_id).
+
+    Centroids here are a deterministic sample — the ``n_centroids``
+    lowest-id corpus vectors (TakeOrdered, no full sort). A production
+    deployment trains k-means; the quantizer's *quality* affects recall
+    only, while the inverted-list mechanics — the part that must scale —
+    are identical, and determinism keeps this path oracle-checkable.
+    """
+    cent = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+        .orderBy("vec_id")
+        .limit(n_centroids)
+    )
+    lists = ivf_assign(
+        corpus, cent, nprobe=1, id_col=id_col, vec_col=vec_col,
+        cent_id_col="vec_id", cent_vec_col="embedding",
+    ).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"), "cent_id")
+    probes = ivf_assign(
+        queries, cent, nprobe=nprobe, id_col=query_id_col, vec_col=vec_col,
+        cent_id_col="vec_id", cent_vec_col="embedding",
+    ).select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cent_id")
+
+    scored = lists.join(F.broadcast(probes), "cent_id").select(
+        "query_id", "vec_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

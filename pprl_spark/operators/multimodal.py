@@ -96,6 +96,45 @@ def media_features(
     return media.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+META_SCHEMA = (
+    "media_ref string, media_type string, n_bytes long, payload_sha256 string, "
+    "width int, height int, duration_ms int, codec string"
+)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Typed metadata extraction over binary payloads (mapInPandas).
+
+    The payload-derived fields (byte count, content digest) are computed
+    from the bytes — the real plumbing a decode stage needs; the
+    decode-derived fields (width/height/duration/codec) pass through from
+    the ``meta`` struct, standing in for the stubbed decoder's output.
+    sha256 (not sha1) so the digest is reproducible by SQL engines — the
+    driver's ``multimodal_meta`` query oracle-checks this whole path.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            meta = pdf["meta"]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                    "payload_sha256": [
+                        hashlib.sha256(p or b"").hexdigest() for p in payloads
+                    ],
+                    "width": [m["width"] for m in meta],
+                    "height": [m["height"] for m in meta],
+                    "duration_ms": [m["duration_ms"] for m in meta],
+                    "codec": [m["codec"] for m in meta],
+                }
+            )
+
+    return media.mapInPandas(extract, META_SCHEMA)
+
+
 def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table exercising the binary plumbing."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

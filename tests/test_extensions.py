@@ -106,6 +106,43 @@ def test_lsh_topk_recall(spark, vectors):
     assert hits >= 3  # multiprobe recall on top-1 (5 queries)
 
 
+def test_ivf_topk_recall(spark, vectors):
+    from pprl_spark.operators.ann import ivf_topk
+
+    queries = vectors.where("vec_id < 5").withColumnRenamed("vec_id", "query_id")
+    corpus = vectors.where("vec_id >= 5")
+    exact = brute_force_topk(corpus, queries, k=1).collect()
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(corpus, queries, k=1, n_centroids=8, nprobe=4).collect()
+        if r["rank"] == 1
+    }
+    hits = sum(1 for r in exact if (r["query_id"], r["vec_id"]) in approx)
+    assert hits >= 3  # nprobe=4 of 8 lists recovers most top-1s (5 queries)
+    # every query produces results and ranks are dense from 1
+    got = ivf_topk(corpus, queries, k=3, n_centroids=8, nprobe=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_media_metadata(spark):
+    from pprl_spark.operators.multimodal import media_metadata
+
+    media = synthesize_media(spark, 20)
+    rows = {r["media_ref"]: r for r in media_metadata(media).collect()}
+    src = {r["media_ref"]: r for r in media.collect()}
+    assert len(rows) == 20
+    import hashlib
+
+    for ref, r in rows.items():
+        assert r["n_bytes"] == len(src[ref]["payload"])
+        assert r["payload_sha256"] == hashlib.sha256(src[ref]["payload"]).hexdigest()
+        assert r["width"] == src[ref]["meta"]["width"]
+
+
 def test_multimodal_plumbing(spark):
     media = synthesize_media(spark, 30)
     feats = media_features(media, dim=8)
