@@ -709,6 +709,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec",
         )
 
+    def events_windowed(spark, sf_dir):
+        # tumbling-window rollup over the events table (batch form of the
+        # streaming watermarked aggregation, operators/events.py)
+        from pprl_spark.operators.events import windowed_event_stats
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = windowed_event_stats(ev, window="1 hour")
+        return out.select(
+            F.col("window_start").cast("long").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").alias("sum_value"),
+            F.col("sum_k").cast("long").alias("sum_k"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+
     return {
         "pprl_tokenize_bigrams": pprl_tokenize_bigrams,
         "pprl_bloom_embed": pprl_bloom_embed,
@@ -734,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_ivf": ann_ivf,
         "multimodal_meta": multimodal_meta,
+        "events_windowed": events_windowed,
     }
 
 
@@ -1149,4 +1166,14 @@ SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.2
         "ann_lsh_buckets": ann_lsh_sql,
         "ann_ivf": ann_ivf_sql,
         "multimodal_meta": multimodal_meta_sql,
+        "events_windowed": """
+SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+GROUP BY 1, 2
+""",
     }

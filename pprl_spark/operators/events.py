@@ -1,0 +1,49 @@
+"""Windowed event-stream aggregation (batch + streaming shared core).
+
+No reference analog (the reference is batch-only PII linkage); the brief's
+training-data-pipeline surface wants time-windowed rollups over event
+streams — tumbling windows via the built-in ``F.window`` (codegen'd, SQL-
+expressible, so the batch path is oracle-checkable in DuckDB via
+``time_bucket``). The streaming variant adds an event-time watermark so
+late rows older than the bound are dropped and window state is evicted —
+bounded state at 10^12-event scale.
+
+JSON ``props`` are parsed with the built-in ``get_json_object`` (JVM-side,
+no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    exact_users: bool = True,
+) -> DataFrame:
+    """Tumbling-window rollup per event_type.
+
+    (window_start epoch secs, event_type, n_events, sum_value, sum_k
+    [, n_users]). ``exact_users`` uses count_distinct — batch only;
+    streaming aggregations pass False (distinct is unsupported on
+    unbounded state; approx_count_distinct would be the streaming choice
+    but is not byte-stable, so it stays out of the oracle-checked set).
+    """
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    ]
+    if exact_users:
+        aggs.append(F.count_distinct("user_id").alias("n_users"))
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(*aggs)
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            *[c for c in ("n_events", "sum_value", "sum_k", "n_users") if exact_users or c != "n_users"],
+        )
+    )

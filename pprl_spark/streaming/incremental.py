@@ -37,6 +37,52 @@ def stream_embed(
     return add_block_keys(emb, config)
 
 
+def stream_windowed_stats(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup over an event stream.
+
+    Same aggregation plan as ``operators.events.windowed_event_stats``
+    (minus exact distinct users, unsupported on unbounded streams); the
+    event-time watermark bounds state: windows older than max(ts) -
+    watermark are finalized and evicted, and later-arriving rows for them
+    are dropped — the standard late-data contract.
+    """
+    from pprl_spark.operators.events import windowed_event_stats
+
+    stream = (
+        spark.readStream.schema(schema).parquet(input_dir).withWatermark("ts", watermark)
+    )
+    return windowed_event_stats(stream, window=window, exact_users=False)
+
+
+def start_stats_stream(
+    stats: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    once: bool = True,
+):
+    """Append finalized windows to a stage table (exactly-once).
+
+    ``append`` output mode emits a window only once its watermark passes —
+    the batch-equivalence test in tests/test_extensions.py proves the
+    emitted rows match the batch aggregation over the same input.
+    """
+    writer = (
+        stats.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_embed_stream(
     embedded: DataFrame,
     output_dir: str,

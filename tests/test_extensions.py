@@ -217,6 +217,36 @@ def test_scm_training_and_scoring(spark):
     assert sims[1] is None or sims[0] > sims[1]
 
 
+def test_stream_windowed_stats_matches_batch(spark, tmp_path):
+    """Watermarked streaming windows == batch aggregation for every window
+    the watermark finalized (append mode withholds windows newer than
+    max(ts) - watermark — the late-data contract)."""
+    from pprl_spark.operators.events import windowed_event_stats
+    from pprl_spark.streaming.incremental import start_stats_stream, stream_windowed_stats
+
+    src, out, ckpt = str(tmp_path / "ev"), str(tmp_path / "out"), str(tmp_path / "ck")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(src)
+
+    q = start_stats_stream(stream_windowed_stats(spark, src), out, ckpt)
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"], r["sum_k"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"], r["sum_k"])
+        for r in windowed_event_stats(ev, exact_users=False).collect()
+    }
+    assert streamed, "watermark finalized no windows"
+    for key, vals in streamed.items():
+        assert batch[key] == vals, key
+    # only the tail (within the 2h watermark of max ts) may be withheld
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    withheld = set(batch) - set(streamed)
+    assert all(ws >= max_ts - 3 * 3600 for ws, _ in withheld), withheld
+
+
 def test_stream_embed(spark, tmp_path):
     from pprl_spark.sources.synthetic import synthesize_documents
     from pprl_spark.streaming.incremental import start_embed_stream, stream_embed
