@@ -613,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("long").alias("doc_id"),
             TXT.token_count("text").cast("long").alias("n_tokens"),
             TXT.distinct_token_count("text").cast("long").alias("n_distinct"),
+            TXT.bpe_token_count("text").cast("long").alias("n_bpe"),
             F.round(TXT.quality_score("text"), 6).alias("quality"),
             TXT.fingerprint("text").alias("fp"),
             TXT.lang_id("text").alias("lang_pred"),
@@ -903,13 +904,14 @@ scored AS (
          list_max([{lang_structs}]) AS best
   FROM ext
 )
-SELECT doc_id, n_tokens, n_distinct,
+SELECT s.doc_id, n_tokens, n_distinct,
+       len(regexp_extract_all(lower(d.text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))::BIGINT AS n_bpe,
        round(0.4 * least(1.0, n_tokens / 50.0)
              + 0.3 * distinct_ratio
              + 0.3 * least(1.0, mean_len / 8.0), 6) AS quality,
        fp,
        CASE WHEN best.score > 0 THEN best.code ELSE 'und' END AS lang_pred
-FROM scored
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 """
 
     ann_topk_sql = """

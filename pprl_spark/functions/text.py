@@ -45,6 +45,20 @@ def distinct_token_count(text: Column | str) -> Column:
     return F.size(F.array_distinct(words_col(text)))
 
 
+# GPT-2-style pre-tokenizer shape, restricted to constructs RE2 and Java
+# regex agree on exactly: letter runs, digit runs, punctuation runs, each
+# with an optional leading space — the subword-boundary approximation used
+# for byte-pair-encoding token estimates (no vocab lookup; counts
+# pre-merge segments, a stable upper bound on BPE tokens)
+BPE_SPLIT_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: count of pre-tokenizer segments."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit(BPE_SPLIT_RE))
+
+
 def rolling_hash_col(s: Column) -> Column:
     """Polynomial rolling hash of a string: fold (acc*31 + ascii) mod P.
 

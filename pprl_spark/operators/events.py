@@ -14,7 +14,7 @@ no Python).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -47,3 +47,29 @@ def windowed_event_stats(
             *[c for c in ("n_events", "sum_value", "sum_k", "n_users") if exact_users or c != "n_users"],
         )
     )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization, batch form.
+
+    A session is a maximal run of a user's events with inter-event gaps
+    <= ``gap_minutes``. Classic lag + running-sum-of-boundaries: both
+    windows are partitioned per user (small, no skew concern). Returns
+    (user_id, session_start, session_end, n_events) in epoch seconds.
+    The streaming twin (``streaming.incremental.sessionize_stream``)
+    computes the same sessions incrementally with
+    ``applyInPandasWithState``.
+    """
+    t = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    boundary = F.when(
+        F.lag(t).over(w).isNull() | (t - F.lag(t).over(w) > gap_minutes * 60), 1
+    ).otherwise(0)
+    with_sess = events.select(
+        "user_id", t.alias("t"), F.sum(boundary).over(w).alias("sess_id")
+    )
+    return with_sess.groupBy("user_id", "sess_id").agg(
+        F.min("t").alias("session_start"),
+        F.max("t").alias("session_end"),
+        F.count("*").alias("n_events"),
+    ).drop("sess_id")

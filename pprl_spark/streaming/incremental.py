@@ -83,6 +83,66 @@ def start_stats_stream(
     return writer.start()
 
 
+def sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    gap_minutes: int = 30,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState``.
+
+    Per-user state carries the open session (start, last ts, count); each
+    micro-batch folds its events in event-time order, emitting every
+    session CLOSED by a gap. The open session stays in state with an
+    event-time timeout at last_ts + gap, so it flushes once the watermark
+    passes — bounded state at any scale, keyed shuffle only on user_id.
+    Batch twin: ``operators.events.sessionize_batch`` (equivalence test in
+    tests/test_extensions.py).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    out_cols = ["user_id", "session_start", "session_end", "n_events"]
+
+    def fn(key, pdfs, state):
+        user = key[0]
+        sessions = []
+        if state.hasTimedOut:
+            ss, lt, n = state.get
+            sessions.append((user, ss, lt, n))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            ts = sorted(rows["ts"].astype("int64") // 10**9)
+            ss, lt, n = state.get if state.exists else (None, None, 0)
+            for t in ts:
+                if ss is None:
+                    ss, lt, n = t, t, 1
+                elif t - lt > gap_s:
+                    sessions.append((user, ss, lt, n))
+                    ss, lt, n = t, t, 1
+                else:
+                    lt, n = t, n + 1
+            state.update((int(ss), int(lt), int(n)))
+            state.setTimeoutTimestamp((int(lt) + gap_s) * 1000)
+        yield pd.DataFrame(sessions, columns=out_cols)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withWatermark("ts", f"{gap_minutes} minutes")
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, session_start long, session_end long, n_events long",
+        stateStructType="session_start long, last_ts long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def start_embed_stream(
     embedded: DataFrame,
     output_dir: str,

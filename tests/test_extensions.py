@@ -247,6 +247,56 @@ def test_stream_windowed_stats_matches_batch(spark, tmp_path):
     assert all(ws >= max_ts - 3 * 3600 for ws, _ in withheld), withheld
 
 
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == batch lag/running-sum
+    sessionization for every gap-closed session. Each user's final open
+    session stays in state (availableNow stops before its event-time
+    timeout fires) — exactly the set difference we assert."""
+    from pprl_spark.operators.events import sessionize_batch
+    from pprl_spark.streaming.incremental import sessionize_stream
+
+    src, out, ckpt = str(tmp_path / "ev"), str(tmp_path / "out"), str(tmp_path / "ck")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(src)
+
+    q = (
+        sessionize_stream(spark, src, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_rows = sessionize_batch(ev, gap_minutes=30).collect()
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch_rows
+    }
+    assert streamed, "no sessions emitted"
+    assert streamed <= batch
+    # availableNow runs several micro-batches, so the event-time TIMEOUT
+    # path flushes most open sessions too; only sessions still open when
+    # the final watermark stopped advancing may be withheld — each must be
+    # (a) its user's LAST session and (b) end within 2x gap of max(ts)
+    last_starts = {}
+    for r in batch_rows:
+        last_starts[r["user_id"]] = max(
+            last_starts.get(r["user_id"], 0), r["session_start"]
+        )
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    withheld = batch - streamed
+    assert withheld, "expected at least the final open session to be withheld"
+    for user_id, ss, se, _n in withheld:
+        assert ss == last_starts[user_id], (user_id, ss)
+        assert se >= max_ts - 2 * 30 * 60, (user_id, se, max_ts)
+
+
 def test_stream_embed(spark, tmp_path):
     from pprl_spark.sources.synthetic import synthesize_documents
     from pprl_spark.streaming.incremental import start_embed_stream, stream_embed
