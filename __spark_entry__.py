@@ -158,20 +158,32 @@ def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scored_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hashed join key + Bloom bitmaps: identical sim values (bit_count of
+    # AND == size(array_intersect) on distinct indices — oracle-exact),
+    # ~2.7x smaller join rows and a word-AND intersect kernel
+    from pprl_spark.operators.candidates import bitmap_intersect_count, bloom_bitmap_col
+
+    n_words = BF_SIZE // 64
     blocks = _blocked(spark, sf_dir)
-    left = blocks.select(
-        F.col("doc_id").alias("id1"), F.col("bf_indices").alias("bf1"), "block_key"
+    sides = blocks.select(
+        "doc_id",
+        F.xxhash64("block_key").alias("bk"),
+        bloom_bitmap_col(F.col("bf_indices"), n_words).alias("bm"),
+        F.size("bf_indices").alias("n"),
     )
-    right = blocks.select(
-        F.col("doc_id").alias("id2"), F.col("bf_indices").alias("bf2"), "block_key"
+    left = sides.select(
+        F.col("doc_id").alias("id1"), "bk", F.col("bm").alias("bm1"), F.col("n").alias("n1")
+    )
+    right = sides.select(
+        F.col("doc_id").alias("id2"), "bk", F.col("bm").alias("bm2"), F.col("n").alias("n2")
     )
     pairs = (
-        left.join(right, "block_key")
+        left.join(right, "bk")
         .where(F.col("id1") < F.col("id2"))
         .withColumn(
             "sim",
-            F.size(F.array_intersect("bf1", "bf2")).cast("double")
-            / (F.sqrt(F.size("bf1")) * F.sqrt(F.size("bf2"))),
+            bitmap_intersect_count(F.col("bm1"), F.col("bm2")).cast("double")
+            / (F.sqrt("n1") * F.sqrt("n2")),
         )
         .groupBy("id1", "id2")
         .agg(F.round(F.first("sim"), 6).alias("sim"))
@@ -207,10 +219,18 @@ def _mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FIXTURES_DIR = "/root/repo/fixtures"
-SCM_FIXTURE = f"{FIXTURES_DIR}/scm_sf001.parquet"
+SCM_FIXTURE = f"{FIXTURES_DIR}/scm_sf001.parquet"  # sf0.01 — the committed one
 
 
-def _sync_scm_fixture(A) -> None:
+def _scm_fixture_path(sf_dir: str) -> str:
+    """Per-sf dump path: only the sf0.01 dump is committed (the driver's
+    correctness scale); other scales (bench at sf0.1) write their own file
+    so they never clobber the committed fixture the oracle reads."""
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]  # e.g. "sf0.01"
+    return SCM_FIXTURE if base == "sf0.01" else f"{FIXTURES_DIR}/scm_{base}.parquet"
+
+
+def _sync_scm_fixture(A, sf_dir: str) -> None:
     """Persist the trained SCM as sparse triples iff it changed.
 
     The oracle SQL reproduces the quadratic form from this dump; training
@@ -223,14 +243,15 @@ def _sync_scm_fixture(A) -> None:
 
     from pprl_spark.operators.scm import load_scm, save_scm
 
+    path = _scm_fixture_path(sf_dir)
     os.makedirs(FIXTURES_DIR, exist_ok=True)
-    if os.path.exists(SCM_FIXTURE):
+    if os.path.exists(path):
         try:
-            if np.array_equal(load_scm(SCM_FIXTURE, A.shape[0]), A):
+            if np.array_equal(load_scm(path, A.shape[0]), A):
                 return
         except Exception:
             pass
-    save_scm(A, SCM_FIXTURE)
+    save_scm(A, path)
 
 
 # ---------------------------------------------------------------------------
@@ -372,7 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import numpy as np
 
         from pprl_spark.config import EmbedderConfig
-        from pprl_spark.operators.scm import soft_cosine_pairs_map, train_scm
+        from pprl_spark.operators.scm import soft_cosine_pairs_native, train_scm
 
         emb = _embedded(spark, sf_dir)
         ia = emb.select(F.col("doc_id").alias("id1"), F.col("bf_indices").alias("bf_indices_1"))
@@ -385,7 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             seed=42,
         )
         A = trained["scm"].astype(np.float64)
-        _sync_scm_fixture(A)
+        _sync_scm_fixture(A, sf_dir)
         # score a deterministic 1/37 sample of the candidate pairs (the
         # corpus is near-dup-dense: 81k of 81.6k pairs clear sim>=0.5, and
         # the SQL oracle's quadratic form costs |pairs|·|bf|² — sampling
@@ -396,10 +417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("sim") >= 0.5)
             .where((F.col("id1") * 1000003 + F.col("id2")) % 37 == 0)
             .select("id1", "id2")
-            .join(ia, "id1")
-            .join(ib, "id2")
         )
-        out = soft_cosine_pairs_map(cand, A, out_col="scm_sim")
+        # Python per DOC (projection vectors), JVM gather per PAIR
+        out = soft_cosine_pairs_native(cand, emb, emb, A, out_col="scm_sim")
         return out.select(
             F.col("id1").cast("long").alias("id1"),
             F.col("id2").cast("long").alias("id2"),

@@ -83,6 +83,9 @@ def main() -> None:
         "dedup_simhash": lambda s: simhash_near_duplicates(entry._docs(s, SF_DIR)).count(),
         "text_stats": lambda s: q["text_stats"](s, SF_DIR).count(),
         "ann_topk": lambda s: q["ann_topk"](s, SF_DIR).count(),
+        "ann_ivf": lambda s: q["ann_ivf"](s, SF_DIR).count(),
+        "scm_scored": lambda s: q["pprl_scm_scored"](s, SF_DIR).count(),
+        "events_windowed": lambda s: q["events_windowed"](s, SF_DIR).count(),
     }
 
     timings: dict[str, float] = {}

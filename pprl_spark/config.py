@@ -76,6 +76,12 @@ class EmbedderConfig:
     abs_cutoff: float = 0.0           # SimilarityArray.match abs_cutoff analog
     rel_cutoff: float = 0.0           # margin above per-row threshold
     similarity: str = "cosine"        # cosine | dice | jaccard
+    pair_join_hint: str = "merge"     # blocked pair-join strategy:
+                                      # "merge" (sort-merge; spills, completes
+                                      # at any scale — default) or
+                                      # "shuffle_hash" (~30% faster when
+                                      # executor memory is provisioned; see
+                                      # operators/candidates.py measurements)
 
     def with_args(self, **kwargs: Any) -> "EmbedderConfig":
         return replace(self, **kwargs)

@@ -30,8 +30,8 @@ from pprl_spark.config import EmbedderConfig
 
 def _similarity_expr(sim: str):
     i = F.col("_isect").cast("double")
-    s1 = F.size("bf_indices_1").cast("double")
-    s2 = F.size("bf_indices_2").cast("double")
+    s1 = F.col("_n1").cast("double")
+    s2 = F.col("_n2").cast("double")
     if sim == "cosine":
         return i / (F.sqrt(s1) * F.sqrt(s2))
     if sim == "dice":
@@ -39,6 +39,43 @@ def _similarity_expr(sim: str):
     if sim == "jaccard":
         return i / (s1 + s2 - i)
     raise ValueError(f"unknown similarity {sim!r}")
+
+
+def bloom_bitmap_col(indices, n_words: int):
+    """Sparse index array -> fixed-width bitmap (array of n_words longs).
+
+    Single-pass aggregate (array-of-words accumulator). The bitmap is the
+    join-side representation of the Bloom vector: 8*n_words bytes fixed
+    (128B at bf_size=1024) vs ~360B+ for the int array — smaller shuffle
+    and sort rows — and pair scoring becomes word-AND + bit_count instead
+    of a per-pair hash-set intersect.
+    """
+    pow2 = F.array(
+        *[F.lit(1 << i if i < 63 else -(2**63)).cast("long") for i in range(64)]
+    )
+    wseq = F.array(*[F.lit(w) for w in range(n_words)])
+    return F.aggregate(
+        indices,
+        F.array_repeat(F.lit(0).cast("long"), n_words),
+        lambda acc, x: F.zip_with(
+            acc,
+            wseq,
+            lambda a, w: F.when(
+                F.floor(x.cast("long") / 64).cast("int") == w,
+                a.bitwiseOR(F.element_at(pow2, (x % 64 + 1).cast("int"))),
+            ).otherwise(a),
+        ),
+    )
+
+
+def bitmap_intersect_count(bm1, bm2):
+    """|A ∩ B| from two bitmaps: sum of bit_count(word AND word) — exactly
+    equal to size(array_intersect(...)) on the distinct index arrays."""
+    return F.aggregate(
+        F.zip_with(bm1, bm2, lambda a, b: F.bit_count(a.bitwiseAND(b)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def cap_blocks(
@@ -90,8 +127,9 @@ def generate_candidates(
     """Join exploded block tables into scored candidate pairs.
 
     ``blocks2=None`` means self-linkage (dedup): pairs within one table
-    with ``id1 < id2``. Output: (id1, id2, block_key, sim?) with one row
-    per distinct pair.
+    with ``id1 < id2``. Output: (id1, id2, block_key_hash, sim?) with one
+    row per distinct pair (provenance is the xxhash64 of the block key —
+    the join carries hashed keys + bitmaps, never the strings/arrays).
 
     ``min_sim`` prunes scored pairs BEFORE the pair-dedupe exchange: the
     filter runs map-side on the join output, so sub-cutoff pairs (the
@@ -103,16 +141,26 @@ def generate_candidates(
         blocks1 = cap_blocks(blocks1, config, id_col)
         if blocks2 is not None:
             blocks2 = cap_blocks(blocks2, config, id_col)
+
+    # Join-side representation: hash the block key to a long (8B sort keys
+    # instead of string compares) and pack the Bloom vector into a bitmap.
+    # Measured at 100k docs/source, 16 cores: join+score went 37.7s with
+    # (string key, int-array vectors, array_intersect) to 9.5s with
+    # (hashed key, bitmaps, bit_count AND) — the shuffle/sort rows are
+    # ~2.7x smaller and the per-pair intersect is 16 word-ANDs.
+    n_words = -(-(config.bf_size + config.offset) // 64)
     left = blocks1.select(
         F.col(id_col).alias("id1"),
-        F.col("bf_indices").alias("bf_indices_1"),
-        "block_key",
+        F.xxhash64("block_key").alias("_bk"),
+        bloom_bitmap_col(F.col("bf_indices"), n_words).alias("_bm1"),
+        F.size("bf_indices").alias("_n1"),
     )
     right_src = blocks2 if blocks2 is not None else blocks1
     right = right_src.select(
         F.col(id_col).alias("id2"),
-        F.col("bf_indices").alias("bf_indices_2"),
-        "block_key",
+        F.xxhash64("block_key").alias("_bk"),
+        bloom_bitmap_col(F.col("bf_indices"), n_words).alias("_bm2"),
+        F.size("bf_indices").alias("_n2"),
     )
 
     # ---- skew salting -------------------------------------------------
@@ -124,7 +172,7 @@ def generate_candidates(
     S = config.salt_buckets
     if S > 1:
         sizes = (
-            left.groupBy("block_key")
+            left.groupBy("_bk")
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") > config.max_block_size)
             .withColumn(
@@ -133,25 +181,37 @@ def generate_candidates(
                     F.lit(S), F.ceil(F.col("_n") / F.lit(config.max_block_size)).cast("int")
                 ),
             )
-            .select("block_key", "_s")
+            .select("_bk", "_s")
         )
         left = (
-            left.join(F.broadcast(sizes), "block_key", "left")
+            left.join(F.broadcast(sizes), "_bk", "left")
             .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))
             .withColumn("_salt", F.pmod(F.xxhash64("id1"), F.col("_s")).cast("int"))
             .drop("_s")
         )
         right = (
-            right.join(F.broadcast(sizes), "block_key", "left")
+            right.join(F.broadcast(sizes), "_bk", "left")
             .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))
             .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
             .drop("_s")
         )
-        join_keys = ["block_key", "_salt"]
+        join_keys = ["_bk", "_salt"]
     else:
-        join_keys = ["block_key"]
+        join_keys = ["_bk"]
 
-    pairs = left.join(right, join_keys)
+    # Join-strategy hint — NEVER let the planner broadcast here: both
+    # sides are corpus-sized (docs x keys x salt, carrying the bf arrays),
+    # but Catalyst's size estimate under the explode/checkpoint lineage
+    # comes in under the broadcast threshold — at 100k docs/source the
+    # unhinted plan silently broadcast a ~400MB hash relation from the
+    # driver (plan audit showed BuildRight on the FULL salted right side);
+    # at 400k it OOMed the driver outright. Measured at 32 cores:
+    #   merge        100k 75.3s | 400k 518.7s @5g heap (external sort
+    #                spills — completes at ANY size; the default)
+    #   shuffle_hash 100k 58.5s | 400k OOM @5g (per-partition build maps
+    #                compete with the checkpointed block tables for the
+    #                unified pool; fine when executor memory is sized)
+    pairs = left.hint(config.pair_join_hint).join(right, join_keys)
     if blocks2 is None:
         pairs = pairs.where(F.col("id1") < F.col("id2"))
     if "_salt" in pairs.columns:
@@ -159,28 +219,27 @@ def generate_candidates(
 
     if score:
         # Score BEFORE the pair-dedupe shuffle: the intersect runs on the
-        # join output where both arrays are already co-located, so the
+        # join output where both bitmaps are already co-located, so the
         # groupBy below shuffles only (id1, id2, key, sim) scalars — at
         # 10^12 docs the pair table dominates, and not carrying two
-        # ~100-int arrays through the exchange is a ~10x shuffle saving.
+        # vectors through the exchange is a ~10x shuffle saving.
         pairs = (
-            pairs.withColumn(
-                "_isect", F.size(F.array_intersect("bf_indices_1", "bf_indices_2"))
-            )
+            pairs.withColumn("_isect", bitmap_intersect_count(F.col("_bm1"), F.col("_bm2")))
             .withColumn("sim", _similarity_expr(config.similarity))
-            .drop("_isect", "bf_indices_1", "bf_indices_2")
+            .drop("_isect", "_bm1", "_bm2", "_n1", "_n2")
         )
         if min_sim is not None:
             pairs = pairs.where(F.col("sim") >= F.lit(min_sim))
         # a pair sharing k block keys appears k times with equal sim; the
         # dedupe is REQUIRED before mutual-best ranking (duplicate rows of
         # one pair could take rank 1 in the two windows independently and
-        # lose the pair), and it shuffles only scalars
+        # lose the pair), and it shuffles only scalars. Provenance is the
+        # hashed key (the string key never survives to the join sides).
         return pairs.groupBy("id1", "id2").agg(
-            F.min("block_key").alias("block_key"), F.first("sim").alias("sim")
+            F.min("_bk").alias("block_key_hash"), F.first("sim").alias("sim")
         )
     return (
-        pairs.drop("bf_indices_1", "bf_indices_2")
+        pairs.drop("_bm1", "_bm2", "_n1", "_n2")
         .groupBy("id1", "id2")
-        .agg(F.min("block_key").alias("block_key"))
+        .agg(F.min("_bk").alias("block_key_hash"))
     )

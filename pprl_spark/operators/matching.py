@@ -227,6 +227,12 @@ def assignment_match_in_blocks(
     """
     import pandas as pd
 
+    if "block_key" not in candidates.columns and "block_key_hash" in candidates.columns:
+        # generate_candidates emits hashed-key provenance; the per-block
+        # grouping semantics are identical under the hash
+        candidates = candidates.withColumn(
+            "block_key", F.col("block_key_hash").cast("string")
+        ).drop("block_key_hash")
     has_mask = "masked" in candidates.columns
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:

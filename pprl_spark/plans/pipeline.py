@@ -252,18 +252,16 @@ def _input_fingerprint(df: DataFrame) -> str:
 def _scm_rescore(cand: DataFrame, emb_a: DataFrame, emb_b: DataFrame, scm) -> DataFrame:
     """Re-score candidate pairs with a trained SCM (soft cosine).
 
-    Joins the Bloom index arrays back onto the *surviving* pairs (the
-    binary-cosine min_sim prune already ran, so the expensive quadratic
-    form touches only plausible pairs) and replaces ``sim``. The reference
-    computes this for every cell of the dense N×M matrix
-    (`embedder.py:568-645`); here it runs per candidate pair.
+    The binary-cosine min_sim prune already ran, so the quadratic form
+    touches only plausible pairs — and via the projection formulation
+    (``scm.soft_cosine_pairs_native``) Python runs once per DOC while the
+    per-PAIR score is a codegen'd gather: the reference computes this for
+    every cell of the dense N×M matrix (`embedder.py:568-645`); here the
+    pair table never leaves the JVM.
     """
-    from pprl_spark.operators.scm import soft_cosine_pairs_map
+    from pprl_spark.operators.scm import soft_cosine_pairs_native
 
-    ia = emb_a.select(F.col("doc_id").alias("id1"), F.col("bf_indices").alias("bf_indices_1"))
-    ib = emb_b.select(F.col("doc_id").alias("id2"), F.col("bf_indices").alias("bf_indices_2"))
-    joined = cand.drop("sim").join(ia, "id1").join(ib, "id2")
-    return soft_cosine_pairs_map(joined, scm).drop("bf_indices_1", "bf_indices_2")
+    return soft_cosine_pairs_native(cand.drop("sim"), emb_a, emb_b, scm, out_col="sim")
 
 
 def run_linkage(

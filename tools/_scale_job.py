@@ -33,7 +33,10 @@ def main() -> None:
     # at 4/16/32 threads (local[8] prefers 1x by ~10%; see BENCH/BASELINE.md)
     shuffle = int(os.environ.get("SPARK_SCALE_SHUFFLE", 4 * cpus))
     spark = get_spark(app_name=f"scale_{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuffle)
-    cfg = EmbedderConfig(abs_cutoff=0.3)
+    cfg = EmbedderConfig(
+        abs_cutoff=0.3,
+        pair_join_hint=os.environ.get("PPRL_PAIR_JOIN", "merge"),
+    )
     # generation outside the timed section (identical input both runs)
     A = synthesize_documents(spark, n, "A", partitions=cpus).localCheckpoint()
     B = synthesize_documents(spark, n, "B", partitions=cpus).localCheckpoint()
