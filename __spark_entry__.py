@@ -42,6 +42,12 @@ MH_ROWS = MH_PERMS // MH_BANDS
 _MEMO: dict[tuple, DataFrame] = {}
 
 
+def _skey(spark: SparkSession) -> str:
+    # applicationId, not id(spark): id() values can be reused after a
+    # session is GC'd, silently serving a dead session's plans
+    return spark.sparkContext.applicationId
+
+
 def _memoized(key: tuple, build) -> DataFrame:
     df = _MEMO.get(key)
     if df is None:
@@ -54,7 +60,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file parquet arrives as 1 input split; spread rows across the
     # cluster before the (CPU-bound) embed UDF so all cores work
     return _memoized(
-        (id(spark), sf_dir, "documents"),
+        (_skey(spark), sf_dir, "documents"),
         lambda: spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
             spark.sparkContext.defaultParallelism
         ),
@@ -63,7 +69,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memoized(
-        (id(spark), sf_dir, "embeddings"),
+        (_skey(spark), sf_dir, "embeddings"),
         lambda: spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
     )
 
@@ -128,7 +134,7 @@ def _embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
     a self-join is executed un-extracted inside a codegen Project.
     """
     return _memoized(
-        (id(spark), sf_dir, "embedded"),
+        (_skey(spark), sf_dir, "embedded"),
         lambda: _bloom(_grams(_docs(spark, sf_dir))).localCheckpoint(),
     )
 
@@ -154,7 +160,7 @@ def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "bf_indices", F.explode(F.array(*keys)).alias("block_key")
         )
 
-    return _memoized((id(spark), sf_dir, "blocked"), build)
+    return _memoized((_skey(spark), sf_dir, "blocked"), build)
 
 
 def _scored_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +206,7 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint.
     """
     return _memoized(
-        (id(spark), sf_dir, "scored_pairs"),
+        (_skey(spark), sf_dir, "scored_pairs"),
         lambda: _scored_pairs_build(spark, sf_dir).localCheckpoint(),
     )
 
@@ -451,7 +457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("id1", "id2", "block_key", "sim")
             .dropDuplicates(["id1", "id2", "block_key"])
         )
-        out = assignment_match_in_blocks(pairs)
+        # self-linkage (id1 < id2 within one table): conflict resolution
+        # must treat the two id columns as one namespace for the global
+        # one-to-one guarantee to hold
+        out = assignment_match_in_blocks(pairs, self_linkage=True)
         return out.select(
             F.col("id1").cast("long").alias("id1"),
             F.col("id2").cast("long").alias("id2"),
@@ -617,15 +626,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def dedup_exact(spark, sf_dir):
+        # 128-bit fingerprint (two independent xxhash64s of the normalized
+        # text) as the grouping key: the shuffle carries 16 bytes per doc,
+        # never the document text. The oracle groups by norm_text itself —
+        # identical output unless both 64-bit hashes collide (~2^-128)
         docs = _docs(spark, sf_dir)
-        norm = docs.select(
+        norm = F.array_join(TXT.words_col("text"), " ")
+        keyed = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            F.array_join(TXT.words_col("text"), " ").alias("norm_text"),
+            F.xxhash64(norm).alias("fp1"),
+            F.xxhash64(norm, F.lit(1)).alias("fp2"),
         )
-        canon = norm.groupBy("norm_text").agg(
+        canon = keyed.groupBy("fp1", "fp2").agg(
             F.min("doc_id").alias("canonical_id"), F.count("*").cast("long").alias("n_copies")
         )
-        return norm.join(canon, "norm_text").select("doc_id", "canonical_id", "n_copies")
+        return keyed.join(canon, ["fp1", "fp2"]).select("doc_id", "canonical_id", "n_copies")
 
     def text_stats(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -1192,7 +1207,7 @@ SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.2
 SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
        event_type,
        count(*)::BIGINT AS n_events,
-       round(sum(value), 6) AS sum_value,
+       sum(floor(value * 1000000))::BIGINT / 1000000.0 AS sum_value,
        sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events

@@ -76,11 +76,14 @@ class EmbedderConfig:
     abs_cutoff: float = 0.0           # SimilarityArray.match abs_cutoff analog
     rel_cutoff: float = 0.0           # margin above per-row threshold
     similarity: str = "cosine"        # cosine | dice | jaccard
-    pair_join_hint: str = "merge"     # blocked pair-join strategy:
-                                      # "merge" (sort-merge; spills, completes
-                                      # at any scale — default) or
-                                      # "shuffle_hash" (~30% faster when
-                                      # executor memory is provisioned; see
+    pair_join_hint: str = "auto"      # blocked pair-join strategy:
+                                      # "auto" (default) picks from observable
+                                      # state — guarded broadcast when the
+                                      # build side provably fits a slice of
+                                      # the driver heap, "shuffle_hash" when
+                                      # it fits executor memory, else "merge";
+                                      # explicit "merge"/"shuffle_hash"/
+                                      # "broadcast" pin the strategy (see
                                       # operators/candidates.py measurements)
 
     def with_args(self, **kwargs: Any) -> "EmbedderConfig":

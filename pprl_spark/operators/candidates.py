@@ -28,6 +28,59 @@ from pyspark.sql import functions as F
 from pprl_spark.config import EmbedderConfig
 
 
+def _heap_bytes(spark, key: str, default: str = "1g") -> int:
+    """Parse a Spark memory conf ('5g', '512m', '2048') to bytes."""
+    raw = str(spark.conf.get(key, default) or default).strip().lower()
+    mult = 1
+    for suffix, m in (("k", 2**10), ("m", 2**20), ("g", 2**30), ("t", 2**40)):
+        if raw.endswith(suffix):
+            mult, raw = m, raw[:-1]
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return 2**30
+
+
+def choose_pair_join_hint(
+    spark,
+    build_rows: int,
+    n_words: int,
+) -> str:
+    """Pick the pair-join strategy from observable state.
+
+    The unhinted plan is a trap: Catalyst's size estimate under the
+    explode/checkpoint lineage comes in under the broadcast threshold and
+    silently builds a corpus-sized driver hash relation (measured ~400MB
+    at 400k docs — driver OOM). ``auto`` replaces that guess with a
+    counted build side and the *configured* memory:
+
+    - **broadcast** when the estimated in-memory relation (measured
+      ~700B/row for the (key, id, bitmap, n) rows at bf_size=1024 —
+      the 100k-doc run built ~400MB from ~600k rows) fits in 10% of the
+      smaller of driver/executor heap. This recovers the fast plan for
+      small-to-medium corpora WITH a provable bound, instead of trusting
+      Catalyst's estimate.
+    - **shuffle_hash** when the per-executor resident build (serialized
+      rows, ~(8*n_words + 48)B each) stays under heap/16 — the empirical
+      safe boundary in this container (100k docs ≈ 120MB: completes 30%
+      faster than merge; 400k ≈ 480MB: OOMs at 5g because the build maps
+      compete with the checkpointed block tables in the unified pool).
+    - **merge** (sort-merge) otherwise — spills, completes at any scale.
+    """
+    driver_heap = _heap_bytes(spark, "spark.driver.memory")
+    exec_heap = _heap_bytes(spark, "spark.executor.memory", default="0")
+    if exec_heap == 0:  # local mode: the driver JVM is the executor
+        exec_heap = driver_heap
+    inmem_bytes = build_rows * 700  # measured hash-relation footprint/row
+    if inmem_bytes < 0.10 * min(driver_heap, exec_heap):
+        return "broadcast"
+    build_bytes = build_rows * (8 * n_words + 48)
+    if build_bytes < exec_heap / 16:
+        return "shuffle_hash"
+    return "merge"
+
+
 def _similarity_expr(sim: str):
     i = F.col("_isect").cast("double")
     s1 = F.col("_n1").cast("double")
@@ -199,7 +252,7 @@ def generate_candidates(
     else:
         join_keys = ["_bk"]
 
-    # Join-strategy hint — NEVER let the planner broadcast here: both
+    # Join-strategy hint — NEVER let the planner choose unhinted: both
     # sides are corpus-sized (docs x keys x salt, carrying the bf arrays),
     # but Catalyst's size estimate under the explode/checkpoint lineage
     # comes in under the broadcast threshold — at 100k docs/source the
@@ -207,11 +260,24 @@ def generate_candidates(
     # driver (plan audit showed BuildRight on the FULL salted right side);
     # at 400k it OOMed the driver outright. Measured at 32 cores:
     #   merge        100k 75.3s | 400k 518.7s @5g heap (external sort
-    #                spills — completes at ANY size; the default)
+    #                spills — completes at ANY size; the fallback)
     #   shuffle_hash 100k 58.5s | 400k OOM @5g (per-partition build maps
     #                compete with the checkpointed block tables for the
     #                unified pool; fine when executor memory is sized)
-    pairs = left.hint(config.pair_join_hint).join(right, join_keys)
+    # "auto" counts the build side (one cheap action when the caller feeds
+    # materialized stage tables, as the pipeline and bench do) and picks
+    # the fastest strategy whose memory bound provably holds — see
+    # choose_pair_join_hint.
+    hint = config.pair_join_hint
+    if hint == "auto":
+        # count the un-bitmapped source (scan-only on materialized input);
+        # 1.25 covers the salt replication of hot blocks (bounded by S)
+        build_rows = int(right_src.count() * 1.25)
+        hint = choose_pair_join_hint(left.sparkSession, build_rows, n_words)
+    if hint == "broadcast":
+        pairs = left.join(F.broadcast(right), join_keys)
+    else:
+        pairs = left.hint(hint).join(right, join_keys)
     if blocks2 is None:
         pairs = pairs.where(F.col("id1") < F.col("id2"))
     if "_salt" in pairs.columns:

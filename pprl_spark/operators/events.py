@@ -33,7 +33,12 @@ def windowed_event_stats(
     """
     aggs = [
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        # sum at fixed micro precision: floor(value*1e6) is the same long
+        # on any engine evaluating IEEE doubles, and summing longs is
+        # order-independent — a plain double sum re-associates differently
+        # across engines/partitionings and can flake a hash-exact oracle
+        # near a rounding boundary
+        (F.sum(F.floor(F.col("value") * F.lit(1e6))) / F.lit(1e6)).alias("sum_value"),
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
     ]
     if exact_users:

@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 
 def _numbered(
-    df: DataFrame, order_col: str, offset: int, shuffle_col: str | None = None
+    df: DataFrame,
+    order_col: str,
+    offset: int,
+    shuffle_col: str | None = None,
+    range_by: bool = False,
 ) -> tuple[DataFrame, int]:
     """Assign dense unique ``slot`` numbers starting at ``offset``.
 
@@ -45,9 +49,19 @@ def _numbered(
     index pool, where slot blocks must not correlate with value ranges
     (``spark.range`` partitions are contiguous value chunks; hashing on the
     keyed-hash column scatters them).
+
+    ``range_by``: range-repartition on ``order_col`` first. Range partition
+    ids ascend with the ranges, so partition-local rank + cumulative
+    offsets equals the GLOBAL sort rank by ``order_col`` — a distributed
+    global ordering with no single-task ``Window.orderBy`` anywhere
+    (partition boundaries only decide where ranges split, never the rank).
     """
     spark = df.sparkSession
-    if shuffle_col is not None:
+    if range_by:
+        df = df.repartitionByRange(
+            spark.sparkContext.defaultParallelism, order_col
+        )
+    elif shuffle_col is not None:
         df = df.repartition(spark.sparkContext.defaultParallelism, shuffle_col)
     numbered = (
         df.withColumn("_pid", F.spark_partition_id())

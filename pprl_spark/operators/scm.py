@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -79,17 +79,39 @@ def train_scm(
     the Embedder attributes (embedder.py:318-326). Cumulative training =
     pass the previous freq matrices as priors (embedder.py:631-636).
     """
+    from pprl_spark.operators.private_index import _numbered
+
     size = config.bf_size + config.offset
-    # global Window.orderBy is acceptable HERE only: the input is the known
-    # matched pairs (training data, thousands of rows, collected to the
-    # driver as a B×B matrix right below anyway) — never the corpus
-    w = Window.orderBy(F.xxhash64("bf_indices_1", F.lit(seed)))
-    w2 = Window.orderBy(F.xxhash64("bf_indices_2", F.lit(seed + 1)))
-    numbered = aligned.select(
-        "bf_indices_1", "bf_indices_2", F.row_number().over(w).alias("rn")
+    # Seeded alignment WITHOUT a global window: the training set is the
+    # mutual-best match set, which grows linearly with the corpus — a
+    # single-task Window.orderBy sort here would bottleneck at 100x. The
+    # range-partitioned zipWithIndex (_numbered, range_by=True) computes
+    # the identical global rank by the same xxhash64 key distributively,
+    # so the seeded-shuffle semantics (embedder.py:623) and the trained
+    # matrix are unchanged.
+    numbered, _ = _numbered(
+        aligned.select(
+            "bf_indices_1",
+            "bf_indices_2",
+            F.xxhash64("bf_indices_1", F.lit(seed)).alias("_h1"),
+        ),
+        "_h1",
+        offset=0,
+        range_by=True,
+    )
+    numbered = numbered.select(
+        "bf_indices_1", "bf_indices_2", F.col("slot").alias("rn")
     )
     # seeded shuffle of side 2 against side 1 (negative class, embedder.py:623)
-    shuffled2 = aligned.select("bf_indices_2", F.row_number().over(w2).alias("rn"))
+    shuffled2, _ = _numbered(
+        aligned.select(
+            "bf_indices_2", F.xxhash64("bf_indices_2", F.lit(seed + 1)).alias("_h2")
+        ),
+        "_h2",
+        offset=0,
+        range_by=True,
+    )
+    shuffled2 = shuffled2.select("bf_indices_2", F.col("slot").alias("rn"))
     jumbled = numbered.drop("bf_indices_2").join(shuffled2, "rn")
 
     Fm = _counts_to_matrix(joint_freq_counts(numbered), size)
@@ -102,31 +124,6 @@ def train_scm(
     scm = np.log(fm + eps) - np.log(fu + eps)  # embedder.py:639
     scm = nearest_pos_semi_definite(scm, eps=1e-6)  # embedder.py:643
     return {"scm": scm, "freq_matr_matched": fm, "freq_matr_unmatched": fu}
-
-
-def scm_norm_udf(scm: np.ndarray):
-    """bf_norms under a trained SCM: sqrt(sum A[ix,ix]) (embedder.py:137-139)."""
-
-    @F.pandas_udf(T.DoubleType())
-    def norm(indices: pd.Series) -> pd.Series:
-        A = scm  # broadcast via closure (few MB at B=1024)
-        return indices.apply(lambda ix: float(np.sqrt(A[np.ix_(ix, ix)].sum())))
-
-    return norm
-
-
-def scm_score_udf(scm: np.ndarray):
-    """Pairwise soft-cosine numerator x1ᵀ A x2 from sparse indices."""
-
-    @F.pandas_udf(T.DoubleType())
-    def score(ix1: pd.Series, ix2: pd.Series) -> pd.Series:
-        A = scm
-        out = np.empty(len(ix1))
-        for k, (a, b) in enumerate(zip(ix1, ix2)):
-            out[k] = A[np.ix_(a, b)].sum()
-        return pd.Series(out)
-
-    return score
 
 
 def scm_to_sparse(scm: np.ndarray) -> "pd.DataFrame":
@@ -206,7 +203,12 @@ def soft_cosine_pairs_map(
                 out[k] = p1[ib].sum() / denom if denom > 0 else np.nan
             yield pdf.assign(**{out_col: out})
 
-    return pairs.mapInPandas(kernel, schema)
+    out = pairs.mapInPandas(kernel, schema)
+    # degenerate rows (norm 0 under a barely-trained matrix) score NULL,
+    # matching the native path's F.when(denom > 0, ...) semantics
+    return out.withColumn(
+        out_col, F.when(~F.isnan(out_col), F.col(out_col))
+    )
 
 
 def scm_projections(
@@ -270,6 +272,12 @@ def soft_cosine_pairs_native(
     table never moves through Python. Float64 sums over the same cells as
     :func:`soft_cosine_pairs_map`, so oracle parity holds to 6 decimals.
     """
+    # No broadcast hint on p1: it carries a B-length double array (~8KB at
+    # B=1024) PER DOCUMENT of emb1 — corpus-sized (~800MB at 100k docs),
+    # i.e. exactly the driver-OOM shape candidates.py guards against. AQE
+    # decides: it broadcasts only when the measured shuffle stats fit the
+    # threshold, and shuffle-joins otherwise. n2 is scalar-per-doc and
+    # still corpus-sized, so it gets the same treatment.
     p1 = scm_projections(emb1, scm).select(
         F.col("doc_id").alias(id1), F.col("scm_proj").alias("_p1"), F.col("scm_norm").alias("_n1")
     )
@@ -279,8 +287,8 @@ def soft_cosine_pairs_native(
     ix2 = emb2.select(F.col("doc_id").alias(id2), F.col("bf_indices").alias("_ix2"))
     out = (
         pairs.join(ix2, id2)
-        .join(F.broadcast(p1), id1)
-        .join(F.broadcast(n2), id2)
+        .join(p1, id1)
+        .join(n2, id2)
         .withColumn(out_col, soft_cosine_score_col(F.col("_p1"), F.col("_ix2"), F.col("_n1"), F.col("_n2")))
     )
     return out.drop("_p1", "_n1", "_n2", "_ix2")
@@ -290,14 +298,10 @@ def soft_cosine_pairs(pairs: DataFrame, scm: np.ndarray) -> DataFrame:
     """Score candidate pairs with a trained SCM (dense-matrix-free).
 
     Input needs bf_indices_1/bf_indices_2; emits ``sim`` = soft cosine
-    (embedder.py:519 restricted to the candidate pairs).
+    (embedder.py:519 restricted to the candidate pairs). Routed through
+    the projection formulation (:func:`soft_cosine_pairs_map`): Python
+    cost is one B-vector per DISTINCT document in the batch, never a
+    per-pair |ix|² gather — the old ``Series.apply`` per-pair UDFs are
+    deliberately gone so no caller can score 10^12 pairs row-at-a-time.
     """
-    num = scm_score_udf(scm)
-    nrm = scm_norm_udf(scm)
-    # degenerate rows (norm 0 under a barely-trained matrix) score NULL
-    denom = F.nullif(
-        nrm(F.col("bf_indices_1")) * nrm(F.col("bf_indices_2")), F.lit(0.0)
-    )
-    return pairs.withColumn(
-        "sim", num(F.col("bf_indices_1"), F.col("bf_indices_2")) / denom
-    )
+    return soft_cosine_pairs_map(pairs, scm, out_col="sim")

@@ -133,7 +133,13 @@ class IcebergStageIO:
 
     def write(self, df: DataFrame, stage: str, manifest: dict) -> None:  # pragma: no cover
         df.writeTo(self._table(stage)).using("iceberg").createOrReplace()
-        payload = json.dumps(manifest).replace("'", "''")
+        # escape backslashes BEFORE quotes: Spark SQL string literals
+        # (non-ANSI mode) treat backslash as an escape, so a manifest
+        # containing e.g. a json-escaped quote or a Windows path would
+        # otherwise corrupt the property value
+        payload = (
+            json.dumps(manifest).replace("\\", "\\\\").replace("'", "''")
+        )
         self.spark.sql(
             f"ALTER TABLE {self._table(stage)} "
             f"SET TBLPROPERTIES ('{self.MANIFEST_PROP}' = '{payload}')"

@@ -124,7 +124,13 @@ def sessionize_stream(
                     sessions.append((user, ss, lt, n))
                     ss, lt, n = t, t, 1
                 else:
-                    lt, n = t, n + 1
+                    # min/max, not assignment: a late-but-within-watermark
+                    # event arriving in a later micro-batch can carry
+                    # t < lt (or even t < ss) — moving session_end
+                    # backwards would also move the event-time timeout
+                    # backwards and diverge from the batch twin's
+                    # min(ts)/max(ts) session bounds
+                    ss, lt, n = min(ss, t), max(lt, t), n + 1
             state.update((int(ss), int(lt), int(n)))
             state.setTimeoutTimestamp((int(lt) + gap_s) * 1000)
         yield pd.DataFrame(sessions, columns=out_cols)
