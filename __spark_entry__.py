@@ -212,16 +212,24 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutually-best matches (rank 1 both directions) over the pair table."""
-    pairs = _scored_pairs(spark, sf_dir)
-    w1 = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
-    w2 = Window.partitionBy("id2").orderBy(F.desc("sim"), F.asc("id1"))
-    return (
-        pairs.withColumn("r1", F.row_number().over(w1))
-        .withColumn("r2", F.row_number().over(w2))
-        .where((F.col("r1") == 1) & (F.col("r2") == 1))
-        .select("id1", "id2", "sim")
-    )
+    """Mutually-best matches (rank 1 both directions) over the pair table.
+
+    Memoized + materialized: the match query, the SCM training alignment
+    and ``entry`` all consume it — one ranking pass per session."""
+
+    def build():
+        pairs = _scored_pairs(spark, sf_dir)
+        w1 = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
+        w2 = Window.partitionBy("id2").orderBy(F.desc("sim"), F.asc("id1"))
+        return (
+            pairs.withColumn("r1", F.row_number().over(w1))
+            .withColumn("r2", F.row_number().over(w2))
+            .where((F.col("r1") == 1) & (F.col("r2") == 1))
+            .select("id1", "id2", "sim")
+            .localCheckpoint()
+        )
+
+    return _memoized((_skey(spark), sf_dir, "mutual_best"), build)
 
 
 FIXTURES_DIR = "/root/repo/fixtures"

@@ -89,6 +89,22 @@ class EmbedderConfig:
     def with_args(self, **kwargs: Any) -> "EmbedderConfig":
         return replace(self, **kwargs)
 
+    @classmethod
+    def app_preset(cls, salt: str = "", **overrides: Any) -> "EmbedderConfig":
+        """Preset mirroring the reference app's fixed feature registry.
+
+        The reference UI hard-codes ``NGRAMS = [1, 2, 3, 4]`` plus
+        skip-grams for name columns (`/root/reference/src/pprl/app/
+        utils.py:138-139`) instead of the library default [2, 3] — richer
+        name features at the cost of a denser Bloom filter. Everything
+        else (bf_size=1024, num_hashes=2, offset=0) matches the library
+        defaults the app also uses.
+        """
+        ff_args = {
+            "name": {"ngram_length": [1, 2, 3, 4], "use_gen_skip_grams": True}
+        }
+        return cls(salt=salt, ff_args=ff_args, **overrides)
+
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
 

@@ -19,6 +19,32 @@ from pyspark.sql import functions as F
 MOD = 2_147_483_647
 
 
+def auto_n_planes(n_vectors: int, target_bucket: int = 64) -> int:
+    """Hyperplane count so the EXPECTED bucket holds ~target_bucket vectors.
+
+    A fixed n_planes=8 (256 buckets) is right at 10^4 vectors and
+    catastrophically wrong at 10^9 (4M vectors per bucket — the bucket
+    join degenerates back into the quadratic scan it exists to avoid).
+    ceil(log2(n / target)) keeps per-bucket work constant as the corpus
+    grows; clamped to [4, 24] (below 4 buckets stop discriminating, above
+    24 the multiprobe fan-out dominates).
+    """
+    import math
+
+    if n_vectors <= target_bucket:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
+def auto_n_centroids(n_vectors: int) -> int:
+    """IVF list count ~ sqrt(n): balances list length (scan cost per probe,
+    n/k) against quantizer cost (k comparisons per vector) — the standard
+    IVF sizing rule. Clamped to [4, 65536]."""
+    import math
+
+    return max(4, min(65536, int(math.sqrt(max(n_vectors, 1)))))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -121,12 +147,56 @@ def ivf_assign(
     )
 
 
+def _lloyd_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Deterministic sampled k-means refinement of the coarse quantizer.
+
+    Collects a bounded, deterministic sample (the ``min(100·k, 100k)``
+    lowest-id vectors — a TakeOrdered, no full sort) to the driver and
+    runs ``iters`` Lloyd steps in numpy with cosine assignment. Driver
+    memory is bounded by the sample cap regardless of corpus size; the
+    corpus itself is never collected. Init = the first ``n_centroids``
+    sample vectors, so ``iters=0`` degenerates to the seed-sample
+    quantizer exactly. Empty clusters keep their previous centroid.
+    """
+    import numpy as np
+
+    sample_n = min(100 * n_centroids, 100_000)
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        assign = (Xn @ Cn.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(int(j), [float(x) for x in C[j]]) for j in range(n_centroids)],
+        "vec_id long, embedding array<double>",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
+    kmeans_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -139,17 +209,28 @@ def ivf_topk(
     with ~nprobe/n_centroids of it, and the lists are the natural
     partitioning key for the corpus table (write bucketed by cent_id).
 
-    Centroids here are a deterministic sample — the ``n_centroids``
-    lowest-id corpus vectors (TakeOrdered, no full sort). A production
-    deployment trains k-means; the quantizer's *quality* affects recall
-    only, while the inverted-list mechanics — the part that must scale —
-    are identical, and determinism keeps this path oracle-checkable.
+    ``n_centroids=None`` derives ~sqrt(corpus count) via
+    :func:`auto_n_centroids` (one count action — cheap on a materialized
+    corpus table). ``kmeans_iters=0`` keeps the deterministic seed-sample
+    quantizer — the ``n_centroids`` lowest-id corpus vectors (TakeOrdered,
+    no full sort), which keeps this path oracle-checkable; ``> 0`` runs
+    that many sampled Lloyd steps (:func:`_lloyd_centroids`, still fully
+    deterministic) for better-balanced lists and higher recall. The
+    quantizer's *quality* affects recall only; the inverted-list
+    mechanics — the part that must scale — are identical either way.
     """
-    cent = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-        .orderBy("vec_id")
-        .limit(n_centroids)
-    )
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(corpus.count())
+    if kmeans_iters > 0:
+        cent = _lloyd_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    else:
+        cent = (
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            )
+            .orderBy("vec_id")
+            .limit(n_centroids)
+        )
     lists = ivf_assign(
         corpus, cent, nprobe=1, id_col=id_col, vec_col=vec_col,
         cent_id_col="vec_id", cent_vec_col="embedding",
@@ -174,7 +255,7 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -185,8 +266,12 @@ def lsh_topk(
     Buckets corpus once; queries probe their own bucket plus (optionally)
     all hamming-1 neighbor buckets. Bucket join replaces the cross join —
     at 10^12 vectors each query touches ~(1+n_planes)/2^n_planes of the
-    corpus instead of all of it.
+    corpus instead of all of it. ``n_planes=None`` derives the plane
+    count from the corpus size (:func:`auto_n_planes`) so the expected
+    bucket stays ~constant as the corpus grows.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count())
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cvec"),

@@ -204,7 +204,7 @@ def embedding_near_duplicates(
     vectors: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -213,10 +213,15 @@ def embedding_near_duplicates(
     Vectors sharing a sign-bucket (plus hamming-1 probes) are candidate
     near-dups; exact cosine verifies. Same bucket machinery as
     ``operators.ann.lsh_topk`` — at 10^12 vectors the bucket join replaces
-    the quadratic scan. All JVM-side.
+    the quadratic scan. All JVM-side. ``n_planes=None`` derives the plane
+    count from the corpus size (``ann.auto_n_planes``) — a fixed 8 planes
+    (256 buckets) stops discriminating once the corpus outgrows ~16k
+    vectors.
     """
-    from pprl_spark.operators.ann import cosine, lsh_bucket_key
+    from pprl_spark.operators.ann import auto_n_planes, cosine, lsh_bucket_key
 
+    if n_planes is None:
+        n_planes = auto_n_planes(vectors.count())
     base = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),

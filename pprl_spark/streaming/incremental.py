@@ -11,18 +11,100 @@ batch embed stage — Structured Streaming reuses the same DataFrame plan.
 Matching itself stays batch (a stream-stream self-join over all history
 is the dense-matrix problem again); the supported pattern is
 stream-embed -> append to the embedded stage table -> periodic batch
-match over the delta (new-vs-all via the same blocked join).
+match over the delta: :func:`delta_candidates` scores only the pairs
+that involve a new document (new-vs-corpus plus new-vs-new, via the
+same blocked join), and :func:`delta_match` folds them into the stored
+pair table and re-ranks — exactly equal to re-matching the full union,
+at the cost of only the delta's joins.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from pprl_spark.config import EmbedderConfig
 from pprl_spark.operators.blocking import add_block_keys
+from pprl_spark.operators.candidates import generate_candidates
 from pprl_spark.operators.embedding import embed_documents
+from pprl_spark.operators.matching import mutual_best_match
 from pprl_spark.sources.synthetic import DOCS_SCHEMA
+
+
+def delta_candidates(
+    corpus_blocks: DataFrame,
+    delta_blocks: DataFrame,
+    config: EmbedderConfig,
+    id_col: str = "doc_id",
+    cap: bool = True,
+    min_sim: float | None = None,
+) -> DataFrame:
+    """Scored candidate pairs involving at least one NEW document.
+
+    The incremental identity this implements: self-candidates over
+    ``corpus ∪ delta`` decompose exactly into (a) self-candidates over
+    the corpus — already computed and stored by the previous run — plus
+    (b) this function: delta-vs-corpus cross pairs and delta-vs-delta
+    self pairs, both through the same salted blocked join
+    (``operators.candidates.generate_candidates``). Only the delta side
+    is small; the corpus side joins by block key, so cost scales with
+    the delta's block fan-out, not the corpus size.
+
+    Output pairs are normalized to ``id1 < id2`` (the self-linkage
+    orientation), so the union with the stored pair table is directly
+    re-rankable. Document ids must be disjoint between corpus and delta
+    (append-only ingest).
+
+    ``cap=True`` thins celebrity blocks per input frame; because block
+    sizes differ between (corpus, delta) and their union, capping makes
+    the decomposition approximate at the thinned blocks only — pass
+    ``cap=False`` when exact union-equivalence matters more than skew
+    protection.
+    """
+    cross = generate_candidates(
+        delta_blocks, corpus_blocks, config, id_col=id_col, cap=cap, min_sim=min_sim
+    )
+    within = generate_candidates(
+        delta_blocks, None, config, id_col=id_col, cap=cap, min_sim=min_sim
+    )
+    cross_norm = cross.select(
+        F.least("id1", "id2").alias("id1"),
+        F.greatest("id1", "id2").alias("id2"),
+        "block_key_hash",
+        "sim",
+    )
+    return (
+        cross_norm.unionByName(within.select("id1", "id2", "block_key_hash", "sim"))
+        .groupBy("id1", "id2")
+        .agg(
+            F.min("block_key_hash").alias("block_key_hash"),
+            F.first("sim").alias("sim"),
+        )
+    )
+
+
+def delta_match(
+    prior_pairs: DataFrame,
+    new_pairs: DataFrame,
+    rounds: int = 1,
+    self_linkage: bool = True,
+) -> DataFrame:
+    """Re-rank the stored pair table plus the delta's pairs.
+
+    ``prior_pairs``: the scored self-candidate table of the corpus (a
+    pipeline stage table); ``new_pairs``: :func:`delta_candidates`
+    output. Because candidate scoring is per-pair independent, the union
+    IS the self-candidate table of ``corpus ∪ delta`` — so running
+    ``mutual_best_match`` over it returns exactly what a from-scratch
+    batch match over the union would (the equivalence test in
+    tests/test_streaming_delta.py pins this). Mutual-best ranking is the
+    one step that cannot be incremental: a new document can steal an old
+    document's best partner, so old matches may legitimately change.
+    """
+    cols = ["id1", "id2", "block_key_hash", "sim"]
+    all_pairs = prior_pairs.select(*cols).unionByName(new_pairs.select(*cols))
+    return mutual_best_match(all_pairs, rounds=rounds, self_linkage=self_linkage)
 
 
 def stream_embed(

@@ -170,3 +170,64 @@ def test_dob_features_pandas_parity(date, fmt, dayfirst):
         else [f"day<{ts.day:02d}>", f"month<{ts.month:02d}>", f"year<{ts.year:04d}>"]
     )
     assert got == expected, (value, fmt, dayfirst)
+
+
+# ---------------------------------------------------------------------------
+# app-registry preset: the reference UI hard-codes NGRAMS=[1,2,3,4] plus
+# skip-grams for name columns (src/pprl/app/utils.py:138-139). Golden
+# derived by hand from the reference generator loops: gen_ngram iterates
+# n outer / token inner / window inner and drops the bare "_" 1-gram
+# (features.py:59-65); gen_skip_grams pairs token[i]+token[i+2]
+# (features.py:92-95, docstring example "dave james").
+# ---------------------------------------------------------------------------
+
+
+def test_app_preset_name_features_golden():
+    from pprl_spark.config import EmbedderConfig
+
+    cfg = EmbedderConfig.app_preset()
+    assert cfg.ff_args["name"] == {
+        "ngram_length": [1, 2, 3, 4],
+        "use_gen_skip_grams": True,
+    }
+    got = tokens.name_features("Dave Wilson", **cfg.ff_args["name"])
+    expected = (
+        # 1-grams of _dave_ then _wilson_, bare "_" dropped
+        list("dave") + list("wilson")
+        # 2-grams
+        + ["_d", "da", "av", "ve", "e_"]
+        + ["_w", "wi", "il", "ls", "so", "on", "n_"]
+        # 3-grams
+        + ["_da", "dav", "ave", "ve_"]
+        + ["_wi", "wil", "ils", "lso", "son", "on_"]
+        # 4-grams
+        + ["_dav", "dave", "ave_"]
+        + ["_wil", "wils", "ilso", "lson", "son_"]
+        # skip 2-grams (reference docstring pattern)
+        + ["_a", "dv", "ae", "v_"]
+        + ["_i", "wl", "is", "lo", "sn", "o_"]
+    )
+    assert got == expected
+    # the preset changes the checksum, so stage tables embedded under the
+    # library default can never be silently reused by an app-preset run
+    assert cfg.checksum != EmbedderConfig().checksum
+
+
+def test_app_preset_embeds(spark):
+    from pprl_spark.config import EmbedderConfig
+    from pprl_spark.operators.embedding import embed_documents
+    from pprl_spark.sources.synthetic import synthesize_documents
+
+    cfg = EmbedderConfig.app_preset()
+    out = embed_documents(
+        synthesize_documents(spark, 50, "A"), cfg, keep=["doc_id"]
+    ).select("doc_id", "bf_indices")
+    rows = out.collect()
+    assert len(rows) == 50
+    # denser features than the [2,3] default => more Bloom indices
+    base = embed_documents(
+        synthesize_documents(spark, 50, "A"), EmbedderConfig(), keep=["doc_id"]
+    ).select("bf_indices").collect()
+    assert sum(len(r["bf_indices"]) for r in rows) > sum(
+        len(r["bf_indices"]) for r in base
+    )
