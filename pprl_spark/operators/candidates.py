@@ -46,6 +46,8 @@ def choose_pair_join_hint(
     spark,
     build_rows: int,
     n_words: int,
+    driver_heap: int | None = None,
+    exec_heap: int | None = None,
 ) -> str:
     """Pick the pair-join strategy from observable state.
 
@@ -65,18 +67,38 @@ def choose_pair_join_hint(
       rows, ~(8*n_words + 48)B each) stays under heap/16 — the empirical
       safe boundary in this container (100k docs ≈ 120MB: completes 30%
       faster than merge; 400k ≈ 480MB: OOMs at 5g because the build maps
-      compete with the checkpointed block tables in the unified pool).
+      compete with the checkpointed block tables in the unified pool) —
+      AND shuffle partitions >= 4x the parallelism. The partition-regime
+      condition is measured, not theoretical: at 100k docs/side,
+      local[16] with 64 partitions runs shuffle_hash in 75.0s vs merge
+      76.9s, but with 16 partitions shuffle_hash BLOWS UP to 133s vs
+      merge 81.5s — per-partition hash maps sized at 1x-per-core pin
+      large builds concurrently across every core, and losing one
+      partition's build to GC pressure stalls the whole stage; 4x-sized
+      partitions keep each build map small and interleave its memory
+      with execution.
     - **merge** (sort-merge) otherwise — spills, completes at any scale.
+
+    ``driver_heap``/``exec_heap`` (bytes) override the conf reads — for
+    tests (``spark.driver.memory`` is immutable at runtime) and callers
+    that know the real executor sizing better than the conf.
     """
-    driver_heap = _heap_bytes(spark, "spark.driver.memory")
-    exec_heap = _heap_bytes(spark, "spark.executor.memory", default="0")
+    if driver_heap is None:
+        driver_heap = _heap_bytes(spark, "spark.driver.memory")
+    if exec_heap is None:
+        exec_heap = _heap_bytes(spark, "spark.executor.memory", default="0")
     if exec_heap == 0:  # local mode: the driver JVM is the executor
         exec_heap = driver_heap
     inmem_bytes = build_rows * 700  # measured hash-relation footprint/row
     if inmem_bytes < 0.10 * min(driver_heap, exec_heap):
         return "broadcast"
     build_bytes = build_rows * (8 * n_words + 48)
-    if build_bytes < exec_heap / 16:
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        parallelism = spark.sparkContext.defaultParallelism
+    except Exception:
+        shuffle_parts, parallelism = 200, 64
+    if build_bytes < exec_heap / 16 and shuffle_parts >= 4 * parallelism:
         return "shuffle_hash"
     return "merge"
 

@@ -316,3 +316,64 @@ def test_stream_embed(spark, tmp_path):
     q2 = start_embed_stream(stream_embed(spark, src, cfg), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 35
+
+
+def test_sessionize_stream_late_event_min_max(spark, tmp_path):
+    """A late-but-within-watermark event arriving in a LATER micro-batch
+    must extend the open session with min/max bounds, never move
+    session_end (and the event-time timeout) backwards.
+
+    Two parquet files + maxFilesPerTrigger=1 force two micro-batches:
+    batch 1 carries t0 and t0+20min for user 7; batch 2 carries a LATE
+    event at t0+5min (inside the 30min watermark) plus a far-future event
+    for another user that closes user 7's session by gap. The closed
+    session must span [t0, t0+20min] with 3 events — the pre-fix fold
+    would have set session_end to the late t0+5min.
+    """
+    import time as _time
+
+    from pprl_spark.streaming.incremental import sessionize_stream
+
+    src = tmp_path / "late_ev"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "late_out"), str(tmp_path / "late_ck")
+    t0 = 1_700_000_000
+
+    def write_file(name, rows):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": [pd.Timestamp(t, unit="s", tz="UTC") for _u, t in rows],
+                "user_id": [u for u, _t in rows],
+                "event_type": "e",
+                "value": 0.0,
+                "props": "{}",
+            }
+        )
+        spark.createDataFrame(
+            pdf,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.parquet(str(src / name))
+
+    write_file("f1", [(7, t0), (7, t0 + 1200)])
+    _time.sleep(1.1)  # distinct mtimes => deterministic file order
+    write_file("f2", [(7, t0 + 300), (9, t0 + 100_000)])
+
+    stream = sessionize_stream(spark, str(src) + "/*", gap_minutes=30)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (7, t0, t0 + 1200, 3) in got, got

@@ -118,3 +118,85 @@ def test_mutual_best_match_basic(spark):
     got2 = {(r["id1"], r["id2"]) for r in mutual_best_match(cand, rounds=2).collect()}
     # round 2: with a1/b1 removed, a2-b2 becomes mutual best (a3 loses)
     assert got2 == {("a1", "b1"), ("a2", "b2")}
+
+
+# ---------------------------------------------------------------------------
+# adaptive pair-join strategy: the choice is pure arithmetic over counted
+# rows + configured heap, so the scale boundaries are unit-testable without
+# running the corpora that motivated them (measured anchors: 20k docs/side
+# -> broadcast; 100k -> shuffle_hash; 400k -> merge; see candidates.py)
+# ---------------------------------------------------------------------------
+
+
+def test_choose_pair_join_hint_boundaries(spark):
+    from pprl_spark.operators.candidates import choose_pair_join_hint, _heap_bytes
+
+    G = 2**30
+    n_words = 16
+    # 20k docs/side * ~9 keys = 180k build rows -> guarded broadcast
+    assert choose_pair_join_hint(
+        spark, 180_000, n_words, driver_heap=5 * G, exec_heap=5 * G
+    ) == "broadcast"
+    # 100k docs/side -> ~1.1M rows: too big to broadcast, build fits —
+    # but shuffle_hash additionally requires the 4x-partitions regime
+    # (measured: 1x-per-core partitions make it 1.8x SLOWER than merge)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(4 * spark.sparkContext.defaultParallelism),
+        )
+        assert choose_pair_join_hint(
+            spark, 1_125_000, n_words, driver_heap=5 * G, exec_heap=5 * G
+        ) == "shuffle_hash"
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+        assert choose_pair_join_hint(
+            spark, 1_125_000, n_words, driver_heap=5 * G, exec_heap=5 * G
+        ) == "merge"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # 400k docs/side -> ~4.5M rows: the scale regime, sort-merge only
+    assert choose_pair_join_hint(
+        spark, 4_500_000, n_words, driver_heap=5 * G, exec_heap=5 * G
+    ) == "merge"
+    # small heap demotes even modest builds all the way to merge
+    assert choose_pair_join_hint(
+        spark, 1_125_000, n_words, driver_heap=G // 2, exec_heap=G // 2
+    ) == "merge"
+    # memory-string parsing reads the session conf
+    raw = str(spark.conf.get("spark.driver.memory", "1g")).lower()
+    assert _heap_bytes(spark, "spark.driver.memory") > 0
+    assert raw[-1] in "kmgt0123456789"
+
+
+def test_mutual_best_self_linkage_one_to_one(spark):
+    """Self-linkage: no document may appear in two kept pairs, even across
+    the id1/id2 columns (the two-party windows cannot guarantee this)."""
+    from pprl_spark.operators.matching import mutual_best_match
+
+    # chain a<b<c<d where (b,c) is strongest: greedy one-to-one keeps
+    # (b,c) and then (a,?) — a's partner b is taken, d's partner c is
+    # taken; round 2 can pair (a,d) only if they share a candidate edge
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", 0.8),
+            ("b", "c", 0.9),
+            ("c", "d", 0.7),
+            ("a", "d", 0.2),
+        ],
+        "id1 string, id2 string, sim double",
+    )
+    kept = mutual_best_match(pairs, rounds=3, self_linkage=True).collect()
+    used = [r["id1"] for r in kept] + [r["id2"] for r in kept]
+    assert len(used) == len(set(used)), f"doc reused: {kept}"
+    kept_pairs = {(r["id1"], r["id2"]) for r in kept}
+    assert ("b", "c") in kept_pairs
+    assert ("a", "d") in kept_pairs  # residual round pairs the leftovers
+    # two-party mode on the same input WOULD reuse docs across columns —
+    # the guard against regressing the distinction
+    two_party = mutual_best_match(pairs, rounds=1).collect()
+    tp_used = [r["id1"] for r in two_party] + [r["id2"] for r in two_party]
+    assert len(tp_used) != len(set(tp_used))
