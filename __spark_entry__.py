@@ -591,6 +591,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pairs.mapInPandas(kernel, "doc_id long, jw double")
 
+    def pprl_jw_pairs(spark, sf_dir):
+        # north-star pair scoring: batched Jaro-Winkler over the BLOCKED
+        # candidate pairs (operators.matching.jaro_winkler_rescore) —
+        # kernel is bit-parity with DuckDB's jaro_winkler_similarity
+        from pprl_spark.operators.matching import jaro_winkler_rescore
+
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.lower("text"), r"\s+"), 1, 12), " "
+            ).alias("t12"),
+        )
+        pairs = _scored_pairs(spark, sf_dir).where(F.col("sim") >= 0.5)
+        out = jaro_winkler_rescore(pairs, docs, None, "t12")
+        return out.select(
+            F.col("id1").cast("long").alias("id1"),
+            F.col("id2").cast("long").alias("id2"),
+            "sim",
+            F.round("jw_sim", 6).alias("jw_sim"),
+        )
+
     def dedup_minhash(spark, sf_dir):
         from pprl_spark.operators.dedup import minhash_near_duplicates
 
@@ -753,6 +774,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec",
         )
 
+    def multimodal_decode(spark, sf_dir):
+        # REAL decode end-to-end: synthesize genuine WAV (even ids) and
+        # BMP (odd ids) payloads with doc_id-derived parameters, decode
+        # the BYTES with the stdlib kernels (operators.multimodal), and
+        # let the oracle recompute the expected fields in closed form
+        # from the same parameters. Float parity is exact by design:
+        # square-wave RMS = amp/32768 (binary-exact: /2^15), frame count
+        # divisible by 8 so duration_ms is integral, BMP level = fill/255
+        # of the same double on both engines.
+        import struct as _struct
+
+        import pandas as pd
+
+        from pprl_spark.operators.multimodal import decode_media
+
+        docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+        def synth(batches):
+            import io
+            import wave
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    if did % 2 == 0:
+                        amp = 1000 + (did % 50) * 500
+                        frames = 400 + (did % 100) * 8
+                        buf = io.BytesIO()
+                        with wave.open(buf, "wb") as w:
+                            w.setnchannels(1)
+                            w.setsampwidth(2)
+                            w.setframerate(8000)
+                            w.writeframes(
+                                _struct.pack(
+                                    "<" + "h" * frames,
+                                    *([amp, -amp] * (frames // 2)),
+                                )
+                            )
+                        payload = buf.getvalue()
+                    else:
+                        w_px = 4 + did % 16
+                        h_px = 2 + did % 7
+                        fill = did % 256
+                        row_bytes = (w_px * 3 + 3) // 4 * 4
+                        row = bytes([fill] * (w_px * 3)) + b"\x00" * (row_bytes - w_px * 3)
+                        pixels = row * h_px
+                        info = _struct.pack(
+                            "<IiiHHIIiiII", 40, w_px, h_px, 1, 24, 0,
+                            len(pixels), 2835, 2835, 0, 0,
+                        )
+                        payload = (
+                            b"BM"
+                            + _struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+                            + info
+                            + pixels
+                        )
+                    rows.append((did, f"m://{did}", payload, "media"))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "media_ref", "payload", "media_type"]
+                )
+
+        media = docs.mapInPandas(
+            synth, "doc_id long, media_ref string, payload binary, media_type string"
+        ).localCheckpoint()
+        out = decode_media(media).join(media.select("doc_id", "media_ref"), "media_ref")
+        # inapplicable fields -> -1 sentinels (not NULL): the comparator
+        # sorts row tuples and None does not order against ints
+        return out.select(
+            "doc_id",
+            "container",
+            F.coalesce(F.col("width").cast("long"), F.lit(-1)).alias("width"),
+            F.coalesce(F.col("height").cast("long"), F.lit(-1)).alias("height"),
+            F.coalesce(F.col("duration_ms").cast("long"), F.lit(-1)).alias("duration_ms"),
+            F.coalesce(F.col("channels").cast("long"), F.lit(-1)).alias("channels"),
+            F.coalesce(F.col("sample_rate").cast("long"), F.lit(-1)).alias("sample_rate"),
+            F.round("level", 6).alias("level"),
+        )
+
+    def events_sessionize(spark, sf_dir):
+        # gap-based sessionization, batch form (lag + running-sum of
+        # boundaries; operators/events.py) — the DuckDB oracle reproduces
+        # it with the same window functions
+        from pprl_spark.operators.events import sessionize_batch
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = sessionize_batch(ev, gap_minutes=30)
+        return out.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_start").cast("long").alias("session_start"),
+            F.col("session_end").cast("long").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+
     def events_windowed(spark, sf_dir):
         # tumbling-window rollup over the events table (batch form of the
         # streaming watermarked aggregation, operators/events.py)
@@ -784,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_metaphone": pprl_metaphone,
         "features_native": features_native,
         "text_jaro_winkler": text_jaro_winkler,
+        "pprl_jw_pairs": pprl_jw_pairs,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -795,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann_ivf,
         "multimodal_meta": multimodal_meta,
         "events_windowed": events_windowed,
+        "events_sessionize": events_sessionize,
+        "multimodal_decode": multimodal_decode,
     }
 
 
@@ -814,6 +932,23 @@ def oracle_sql() -> dict[str, str]:
     blocks_sql = SQL_BLOCKS + " SELECT doc_id, block_key FROM blocks"
 
     pairs_sql = SQL_PAIRS + " SELECT id1, id2, sim FROM pairs"
+
+    jw_pairs_sql = (
+        SQL_PAIRS
+        + r"""
+, t12 AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         array_to_string(regexp_split_to_array(lower(text), '\s+')[1:12], ' ') AS t12
+  FROM documents
+)
+SELECT p.id1, p.id2, p.sim,
+       round(jaro_winkler_similarity(a.t12, b.t12), 6) AS jw_sim
+FROM pairs p
+JOIN t12 a ON a.doc_id = p.id1
+JOIN t12 b ON b.doc_id = p.id2
+WHERE p.sim >= 0.5
+"""
+    )
 
     thresholds_sql = (
         SQL_PAIRS
@@ -1192,6 +1327,7 @@ SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.2
         "pprl_skipgrams": skipgrams_sql,
         "features_native": features_native_sql,
         "text_jaro_winkler": jw_sql,
+        "pprl_jw_pairs": jw_pairs_sql,
         "dedup_minhash": dedup_minhash_sql,
         "dedup_simhash": dedup_simhash_sql,
         "pprl_metaphone": metaphone_sql,
@@ -1211,6 +1347,43 @@ SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.2
         "ann_lsh_buckets": ann_lsh_sql,
         "ann_ivf": ann_ivf_sql,
         "multimodal_meta": multimodal_meta_sql,
+        "multimodal_decode": """
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'image/bmp' END AS container,
+       CASE WHEN doc_id % 2 = 1 THEN (4 + doc_id % 16)::BIGINT ELSE -1 END AS width,
+       CASE WHEN doc_id % 2 = 1 THEN (2 + doc_id % 7)::BIGINT ELSE -1 END AS height,
+       CASE WHEN doc_id % 2 = 0 THEN ((400 + (doc_id % 100) * 8) / 8)::BIGINT ELSE -1 END AS duration_ms,
+       CASE WHEN doc_id % 2 = 0 THEN 1::BIGINT ELSE -1 END AS channels,
+       CASE WHEN doc_id % 2 = 0 THEN 8000::BIGINT ELSE -1 END AS sample_rate,
+       CASE WHEN doc_id % 2 = 0
+            THEN round((1000 + (doc_id % 50) * 500) / 32768.0, 6)
+            ELSE round((doc_id % 256) / 255.0, 6) END AS level
+FROM documents
+""",
+        "events_sessionize": """
+WITH e AS (
+  SELECT user_id::BIGINT AS user_id, floor(epoch(ts))::BIGINT AS t FROM events  -- floor: Spark unix_timestamp truncates sub-second parts
+),
+lagd AS (
+  SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e
+),
+b AS (
+  SELECT user_id, t,
+         CASE WHEN pt IS NULL OR t - pt > 1800 THEN 1 ELSE 0 END AS brk
+  FROM lagd
+),
+s AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT user_id,
+       min(t)::BIGINT AS session_start,
+       max(t)::BIGINT AS session_end,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid
+""",
         "events_windowed": """
 SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
        event_type,

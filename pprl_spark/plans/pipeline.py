@@ -281,16 +281,24 @@ def run_linkage(
     match_rounds: int = 1,
     keep: list[str] | None = None,
     scm=None,
+    jw_field: str | None = None,
+    jw_weight: float = 0.3,
 ) -> Pipeline:
     """The full staged DAG (SURVEY.md §7.2): embed -> block -> candidates
-    [-> scm rescore] [-> thresholds] -> match -> cluster, each stage
-    checkpointed.
+    [-> scm rescore] [-> jw rescore] [-> thresholds] -> match -> cluster,
+    each stage checkpointed.
 
     ``scm``: optional trained soft-cosine matrix (``operators.scm.
     train_scm``). When given, candidate and self-candidate pairs are
     re-scored with the trained quadratic form — the reference's headline
     trained-linkage path (`embedder.py:568-645`) — before thresholding and
     matching.
+
+    ``jw_field``: optional name of a kept column (e.g. ``"surname"``);
+    when set, candidate sims are blended with batched Jaro-Winkler on
+    that field — ``sim = (1-jw_weight)*sim + jw_weight*jw`` — the north
+    star's Dice/Jaro-Winkler pair scoring
+    (``operators.matching.jaro_winkler_rescore``).
     """
     import hashlib
 
@@ -302,6 +310,7 @@ def run_linkage(
         scm_tag = hashlib.md5(scm.astype("float64").tobytes()).hexdigest()[:12]
     params = (
         f"thr={int(use_thresholds)};rounds={match_rounds};scm={scm_tag};"
+        f"jw={jw_field}:{jw_weight if jw_field else ''};"
         f"in={_input_fingerprint(docs_a)},{_input_fingerprint(docs_b)}"
     )
     pipe = Pipeline(
@@ -330,6 +339,17 @@ def run_linkage(
             lambda: _scm_rescore(cand, emb_a, emb_b, scm),
             deps=["candidates"],
         )
+    if jw_field is not None:
+        from pprl_spark.operators.matching import jaro_winkler_rescore
+
+        jw_deps = ["scm_scored" if scm is not None else "candidates"]
+        cand = pipe.stage(
+            "jw_rescored",
+            lambda: jaro_winkler_rescore(
+                cand, emb_a, emb_b, jw_field, weight=jw_weight
+            ),
+            deps=jw_deps,
+        )
 
     if use_thresholds:
         def self_pairs(blk, emb):
@@ -350,7 +370,12 @@ def run_linkage(
     else:
         masked = cand.where(F.col("sim") >= F.lit(config.abs_cutoff))
 
-    match_deps = ["scm_scored" if scm is not None else "candidates"]
+    if jw_field is not None:
+        match_deps = ["jw_rescored"]
+    elif scm is not None:
+        match_deps = ["scm_scored"]
+    else:
+        match_deps = ["candidates"]
     if use_thresholds:
         match_deps += ["thresholds_a", "thresholds_b"]
     matches = pipe.stage(

@@ -39,6 +39,9 @@ def main() -> None:
     p.add_argument("--salt", default="")
     p.add_argument("--use-thresholds", action="store_true")
     p.add_argument("--match-rounds", type=int, default=1)
+    p.add_argument("--jw-field", default=None,
+                   help="kept column to blend Jaro-Winkler pair scores on (e.g. surname)")
+    p.add_argument("--jw-weight", type=float, default=0.3)
     p.add_argument("--evaluate", action="store_true", help="report pairwise P/R/F1 vs true_id")
     args = p.parse_args()
 
@@ -72,6 +75,8 @@ def main() -> None:
         run_id=args.run_id,
         use_thresholds=args.use_thresholds,
         match_rounds=args.match_rounds,
+        jw_field=args.jw_field,
+        jw_weight=args.jw_weight,
     )
     out = {
         "run_id": args.run_id,

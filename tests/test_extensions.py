@@ -377,3 +377,62 @@ def test_sessionize_stream_late_event_min_max(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert (7, t0, t0 + 1200, 3) in got, got
+
+
+def test_decode_media_real_wav_bmp(spark):
+    """WAV and BMP payloads decode for REAL (stdlib kernels): exact
+    header fields plus levels computed from the actual sample/pixel
+    bytes. Compressed codecs raise in strict mode."""
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from pprl_spark.operators.multimodal import decode_media
+
+    # 16-bit mono 8kHz WAV, 1600 frames of +/-16384 -> RMS 0.5, 200ms
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        frames = struct.pack("<" + "h" * 1600, *([16384, -16384] * 800))
+        w.writeframes(frames)
+    wav_bytes = buf.getvalue()
+
+    # 4x2 24-bit uncompressed BMP, every byte 100 -> level 100/255
+    w_px, h_px = 4, 2
+    row = bytes([100] * (w_px * 3))  # 12 bytes, already 4-aligned
+    pixels = row * h_px
+    info = struct.pack("<IiiHHIIiiII", 40, w_px, h_px, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 54)
+    bmp_bytes = header + info + pixels
+
+    media = spark.createDataFrame(
+        [("wav://a", wav_bytes, "audio", None), ("bmp://b", bmp_bytes, "image", None)],
+        "media_ref string, payload binary, media_type string, "
+        "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    rows = {r["media_ref"]: r for r in decode_media(media).collect()}
+    wav = rows["wav://a"]
+    assert wav["container"] == "audio/wav"
+    assert wav["channels"] == 1 and wav["sample_rate"] == 8000
+    assert wav["duration_ms"] == 200
+    assert abs(wav["level"] - 0.5) < 1e-9
+    bmp = rows["bmp://b"]
+    assert bmp["container"] == "image/bmp"
+    assert (bmp["width"], bmp["height"]) == (4, 2)
+    assert abs(bmp["level"] - 100 / 255) < 1e-9
+
+    # compressed codecs: strict raises, non-strict falls back
+    jpeg = spark.createDataFrame(
+        [("jpg://c", b"\xff\xd8\xff\xe0fakejpeg", "image", None)],
+        "media_ref string, payload binary, media_type string, "
+        "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    with _pytest.raises(Exception):
+        decode_media(jpeg, strict=True).collect()
+    fallback = decode_media(jpeg, strict=False).collect()[0]
+    assert fallback["container"] == "unknown"
+    assert fallback["level"] is not None

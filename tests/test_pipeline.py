@@ -102,3 +102,30 @@ def test_stageio_contract(spark):
         )
     with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         IcebergStageIO(spark, "warehouse.pprl")
+
+
+def test_pipeline_jw_rescore_stage(spark, parties, tmp_path_factory):
+    """jw_field adds the Jaro-Winkler rescore stage (north-star Dice/JW
+    pair scoring): stage executes, sims stay in [0,1], and accuracy holds
+    — JW on the surname sharpens, never craters, the match set."""
+    base = str(tmp_path_factory.mktemp("pipe_jw"))
+    A, B = parties
+    cfg = EmbedderConfig(abs_cutoff=0.25)
+    pipe = run_linkage(
+        spark, cfg, A, B, base, run_id="r1", jw_field="surname", jw_weight=0.3
+    )
+    assert "jw_rescored" in pipe.executed
+    scored = pipe.io.read(spark, "jw_rescored")
+    stats = scored.agg(
+        F.min("sim").alias("lo"), F.max("sim").alias("hi"), F.count("*").alias("n")
+    ).first()
+    assert stats["n"] > 0 and 0.0 <= stats["lo"] and stats["hi"] <= 1.0
+    matches = pipe.io.read(spark, "matches")
+    truth = labeled_pairs(A, B)
+    tp = matches.join(truth, ["id1", "id2"]).count()
+    assert tp / N >= 0.97
+    # different jw params invalidate the stage on resume
+    again = run_linkage(
+        spark, cfg, A, B, base, run_id="r2", jw_field="surname", jw_weight=0.5
+    )
+    assert "jw_rescored" in again.executed
