@@ -603,7 +603,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.slice(F.split(F.lower("text"), r"\s+"), 1, 12), " "
             ).alias("t12"),
         )
-        pairs = _scored_pairs(spark, sf_dir).where(F.col("sim") >= 0.5)
+        # deterministic 1/7 sample (same trick as pprl_scm_scored): the
+        # oracle recomputes JW per pair, and the sample covers the whole
+        # sim spectrum while keeping both sides ~1M pairs
+        pairs = (
+            _scored_pairs(spark, sf_dir)
+            .where(F.col("sim") >= 0.5)
+            .where((F.col("id1") * 1000003 + F.col("id2")) % 7 == 0)
+        )
         out = jaro_winkler_rescore(pairs, docs, None, "t12")
         return out.select(
             F.col("id1").cast("long").alias("id1"),
@@ -652,6 +659,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id1").cast("long"),
             F.col("id2").cast("long"),
             F.round("cos", 6).alias("cos"),
+        )
+
+    def dedup_clusters(spark, sf_dir):
+        # canonical-ID assignment for a dedup pipeline: connected
+        # components over the MinHash near-dup pair graph (same params as
+        # dedup_minhash) — each doc gets entity_id = min doc_id of its
+        # component; singleton docs are not emitted (no edges)
+        from pprl_spark.operators.cluster import connected_components
+        from pprl_spark.operators.dedup import minhash_near_duplicates
+
+        pairs = minhash_near_duplicates(
+            _docs(spark, sf_dir), k=2, threshold=0.4, bands=4, rows_per_band=2
+        )
+        cc = connected_components(pairs.select("id1", "id2"))
+        return cc.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("entity_id").cast("long").alias("entity_id"),
         )
 
     def dedup_exact(spark, sf_dir):
@@ -905,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
         "dedup_exact": dedup_exact,
+        "dedup_clusters": dedup_clusters,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
         "ann_lsh_buckets": ann_lsh_buckets,
@@ -946,7 +971,7 @@ SELECT p.id1, p.id2, p.sim,
 FROM pairs p
 JOIN t12 a ON a.doc_id = p.id1
 JOIN t12 b ON b.doc_id = p.id2
-WHERE p.sim >= 0.5
+WHERE p.sim >= 0.5 AND (p.id1 * 1000003 + p.id2) % 7 = 0
 """
     )
 
@@ -1272,6 +1297,31 @@ SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.4
 """
     )
 
+    dedup_clusters_sql = (
+        sh_cte.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+        + ", blocks AS (SELECT doc_id, sh, unnest(["
+        + ", ".join(_dedup_band(b) for b in range(4))
+        + """]) AS bk FROM sh),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.sh AS sh1, r.sh AS sh2
+  FROM blocks l JOIN blocks r USING (bk) WHERE l.doc_id < r.doc_id
+),
+nd AS (
+  SELECT id1, id2 FROM pairs
+  WHERE len(list_intersect(sh1, sh2))::DOUBLE
+          / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))) >= 0.4
+),
+edges AS (SELECT id1 AS u, id2 AS v FROM nd UNION SELECT id2, id1 FROM nd),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+walk(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.u, w2.lbl FROM edges e JOIN walk w2 ON e.v = w2.n
+)
+SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n
+"""
+    )
+
     simhash_bits = []
     for j in range(32):
         simhash_bits.append(
@@ -1342,6 +1392,7 @@ SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.2
         "pprl_mutual_best_match": mutual_sql,
         "pprl_clusters": clusters_sql,
         "dedup_exact": dedup_exact_sql,
+        "dedup_clusters": dedup_clusters_sql,
         "text_stats": text_stats_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh_buckets": ann_lsh_sql,

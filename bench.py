@@ -86,6 +86,10 @@ def main() -> None:
         "ann_ivf": lambda s: q["ann_ivf"](s, SF_DIR).count(),
         "scm_scored": lambda s: q["pprl_scm_scored"](s, SF_DIR).count(),
         "events_windowed": lambda s: q["events_windowed"](s, SF_DIR).count(),
+        "events_sessionize": lambda s: q["events_sessionize"](s, SF_DIR).count(),
+        "jw_pairs": lambda s: q["pprl_jw_pairs"](s, SF_DIR).count(),
+        "dedup_clusters": lambda s: q["dedup_clusters"](s, SF_DIR).count(),
+        "multimodal_decode": lambda s: q["multimodal_decode"](s, SF_DIR).count(),
     }
 
     timings: dict[str, float] = {}
