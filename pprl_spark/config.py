@@ -79,12 +79,13 @@ class EmbedderConfig:
     pair_join_hint: str = "auto"      # blocked pair-join strategy:
                                       # "auto" (default) picks from observable
                                       # state — guarded broadcast when the
-                                      # build side provably fits a slice of
-                                      # the driver heap, "shuffle_hash" when
-                                      # it fits executor memory, else "merge";
+                                      # counted build side provably fits a
+                                      # slice of the heap, else sort-merge;
                                       # explicit "merge"/"shuffle_hash"/
                                       # "broadcast" pin the strategy (see
-                                      # operators/candidates.py measurements)
+                                      # operators/candidates.py measurements;
+                                      # shuffle_hash is pin-only: measured
+                                      # tie-at-best, wedged-stage-at-worst)
 
     def with_args(self, **kwargs: Any) -> "EmbedderConfig":
         return replace(self, **kwargs)

@@ -45,7 +45,6 @@ def _heap_bytes(spark, key: str, default: str = "1g") -> int:
 def choose_pair_join_hint(
     spark,
     build_rows: int,
-    n_words: int,
     driver_heap: int | None = None,
     exec_heap: int | None = None,
 ) -> str:
@@ -63,21 +62,20 @@ def choose_pair_join_hint(
       smaller of driver/executor heap. This recovers the fast plan for
       small-to-medium corpora WITH a provable bound, instead of trusting
       Catalyst's estimate.
-    - **shuffle_hash** when the per-executor resident build (serialized
-      rows, ~(8*n_words + 48)B each) stays under heap/16 — the empirical
-      safe boundary in this container (100k docs ≈ 120MB: completes 30%
-      faster than merge; 400k ≈ 480MB: OOMs at 5g because the build maps
-      compete with the checkpointed block tables in the unified pool) —
-      AND shuffle partitions >= 4x the parallelism. The partition-regime
-      condition is measured, not theoretical: at 100k docs/side,
-      local[16] with 64 partitions runs shuffle_hash in 75.0s vs merge
-      76.9s, but with 16 partitions shuffle_hash BLOWS UP to 133s vs
-      merge 81.5s — per-partition hash maps sized at 1x-per-core pin
-      large builds concurrently across every core, and losing one
-      partition's build to GC pressure stalls the whole stage; 4x-sized
-      partitions keep each build map small and interleave its memory
-      with execution.
     - **merge** (sort-merge) otherwise — spills, completes at any scale.
+
+    ``shuffle_hash`` is deliberately NOT auto-selected. It is pinnable
+    explicitly (``pair_join_hint="shuffle_hash"``) for operators who have
+    measured their cluster, but repeated measurement at 100k docs/side
+    shows it is not robustly faster and fails catastrophically under
+    memory pressure: local[16]/64 parts 75.0s vs merge 76.9s (a tie);
+    local[16]/16 parts 133s vs 81.5s (1.6x WORSE — every core pins one
+    large build map); local[32]/128 parts 112.5s then a >570s timeout on
+    repeat vs merge's stable 91.1s (GC death spiral once 32 concurrent
+    builds contend with the checkpointed block tables in the unified
+    pool). A strategy whose best case is a tie and whose worst case is a
+    wedged stage has no business being chosen automatically; sort-merge
+    degrades gracefully (spills) at every scale and parallelism measured.
 
     ``driver_heap``/``exec_heap`` (bytes) override the conf reads — for
     tests (``spark.driver.memory`` is immutable at runtime) and callers
@@ -92,14 +90,6 @@ def choose_pair_join_hint(
     inmem_bytes = build_rows * 700  # measured hash-relation footprint/row
     if inmem_bytes < 0.10 * min(driver_heap, exec_heap):
         return "broadcast"
-    build_bytes = build_rows * (8 * n_words + 48)
-    try:
-        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        parallelism = spark.sparkContext.defaultParallelism
-    except Exception:
-        shuffle_parts, parallelism = 200, 64
-    if build_bytes < exec_heap / 16 and shuffle_parts >= 4 * parallelism:
-        return "shuffle_hash"
     return "merge"
 
 
@@ -280,22 +270,18 @@ def generate_candidates(
     # comes in under the broadcast threshold — at 100k docs/source the
     # unhinted plan silently broadcast a ~400MB hash relation from the
     # driver (plan audit showed BuildRight on the FULL salted right side);
-    # at 400k it OOMed the driver outright. Measured at 32 cores:
-    #   merge        100k 75.3s | 400k 518.7s @5g heap (external sort
-    #                spills — completes at ANY size; the fallback)
-    #   shuffle_hash 100k 58.5s | 400k OOM @5g (per-partition build maps
-    #                compete with the checkpointed block tables for the
-    #                unified pool; fine when executor memory is sized)
-    # "auto" counts the build side (one cheap action when the caller feeds
-    # materialized stage tables, as the pipeline and bench do) and picks
-    # the fastest strategy whose memory bound provably holds — see
-    # choose_pair_join_hint.
+    # at 400k it OOMed the driver outright. "auto" counts the build side
+    # (one cheap action when the caller feeds materialized stage tables,
+    # as the pipeline and bench do) and broadcasts only under a provable
+    # heap bound, falling back to sort-merge (stable at every measured
+    # scale: 100k 75-91s, 400k 518.7s @5g — spills, never wedges); see
+    # choose_pair_join_hint for why shuffle_hash is pin-only.
     hint = config.pair_join_hint
     if hint == "auto":
         # count the un-bitmapped source (scan-only on materialized input);
         # 1.25 covers the salt replication of hot blocks (bounded by S)
         build_rows = int(right_src.count() * 1.25)
-        hint = choose_pair_join_hint(left.sparkSession, build_rows, n_words)
+        hint = choose_pair_join_hint(left.sparkSession, build_rows)
     if hint == "broadcast":
         pairs = left.join(F.broadcast(right), join_keys)
     else:

@@ -436,3 +436,62 @@ def test_decode_media_real_wav_bmp(spark):
     fallback = decode_media(jpeg, strict=False).collect()[0]
     assert fallback["container"] == "unknown"
     assert fallback["level"] is not None
+
+
+def test_scm_cumulative_training_priors(spark):
+    """Cumulative training (reference embedder.py:631-636): passing the
+    previous freq matrices as priors makes the matched joint-frequency
+    matrix EXACTLY additive — train(batch1) priors + batch2 equals
+    train(batch1 ∪ batch2) on freq_matr_matched (the matched counts are
+    alignment-independent; the unmatched matrix uses a fresh seeded
+    derangement per call, as in the reference)."""
+    import numpy as np
+
+    cfg = EmbedderConfig(bf_size=32)
+    b1 = spark.createDataFrame(
+        [([1, 2], [1, 3]), ([4, 5], [4, 6]), ([7, 8], [7, 8])],
+        "bf_indices_1 array<int>, bf_indices_2 array<int>",
+    )
+    b2 = spark.createDataFrame(
+        [([9, 10], [9, 11]), ([2, 3], [2, 3])],
+        "bf_indices_1 array<int>, bf_indices_2 array<int>",
+    )
+    t1 = train_scm(b1, cfg, seed=5)
+    t12 = train_scm(
+        b2, cfg, seed=5,
+        prior_matched=t1["freq_matr_matched"],
+        prior_unmatched=t1["freq_matr_unmatched"],
+    )
+    t_union = train_scm(b1.unionByName(b2), cfg, seed=5)
+    assert np.array_equal(t12["freq_matr_matched"], t_union["freq_matr_matched"])
+    # priors actually flowed: cumulative differs from fresh batch2-only
+    t2 = train_scm(b2, cfg, seed=5)
+    assert not np.array_equal(t12["freq_matr_matched"], t2["freq_matr_matched"])
+    # trained matrix stays PSD under cumulative training
+    eig = np.linalg.eigvalsh((t12["scm"] + t12["scm"].T) / 2)
+    assert eig.min() >= -1e-4
+
+
+def test_pair_join_hint_plan_shape(spark):
+    """The resolved hint shows up in the physical plan: merge pins
+    SortMergeJoin; a tiny auto input resolves to the guarded broadcast
+    (BroadcastHashJoin). Pins that the hint is actually applied, not just
+    computed."""
+    from pprl_spark.operators.blocking import add_block_keys, explode_blocks
+    from pprl_spark.operators.candidates import generate_candidates
+    from pprl_spark.operators.embedding import embed_documents
+    from pprl_spark.sources.synthetic import synthesize_documents
+
+    cfg_merge = EmbedderConfig(pair_join_hint="merge")
+    docs = synthesize_documents(spark, 120, "A")
+    blocks = explode_blocks(
+        add_block_keys(embed_documents(docs, cfg_merge, keep=["doc_id"]), cfg_merge)
+    ).localCheckpoint()
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    merged = generate_candidates(blocks, None, cfg_merge)
+    assert "SortMergeJoin" in plan(merged)
+    auto = generate_candidates(blocks, None, EmbedderConfig(pair_join_hint="auto"))
+    assert "BroadcastHashJoin" in plan(auto)

@@ -132,39 +132,22 @@ def test_choose_pair_join_hint_boundaries(spark):
     from pprl_spark.operators.candidates import choose_pair_join_hint, _heap_bytes
 
     G = 2**30
-    n_words = 16
     # 20k docs/side * ~9 keys = 180k build rows -> guarded broadcast
     assert choose_pair_join_hint(
-        spark, 180_000, n_words, driver_heap=5 * G, exec_heap=5 * G
+        spark, 180_000, driver_heap=5 * G, exec_heap=5 * G
     ) == "broadcast"
-    # 100k docs/side -> ~1.1M rows: too big to broadcast, build fits —
-    # but shuffle_hash additionally requires the 4x-partitions regime
-    # (measured: 1x-per-core partitions make it 1.8x SLOWER than merge)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(4 * spark.sparkContext.defaultParallelism),
-        )
-        assert choose_pair_join_hint(
-            spark, 1_125_000, n_words, driver_heap=5 * G, exec_heap=5 * G
-        ) == "shuffle_hash"
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
-        )
-        assert choose_pair_join_hint(
-            spark, 1_125_000, n_words, driver_heap=5 * G, exec_heap=5 * G
-        ) == "merge"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # 100k docs/side -> ~1.1M rows: too big to broadcast -> sort-merge
+    # (shuffle_hash is pin-only: measured tie-at-best, wedge-at-worst)
+    assert choose_pair_join_hint(
+        spark, 1_125_000, driver_heap=5 * G, exec_heap=5 * G
+    ) == "merge"
     # 400k docs/side -> ~4.5M rows: the scale regime, sort-merge only
     assert choose_pair_join_hint(
-        spark, 4_500_000, n_words, driver_heap=5 * G, exec_heap=5 * G
+        spark, 4_500_000, driver_heap=5 * G, exec_heap=5 * G
     ) == "merge"
     # small heap demotes even modest builds all the way to merge
     assert choose_pair_join_hint(
-        spark, 1_125_000, n_words, driver_heap=G // 2, exec_heap=G // 2
+        spark, 1_125_000, driver_heap=G // 2, exec_heap=G // 2
     ) == "merge"
     # memory-string parsing reads the session conf
     raw = str(spark.conf.get("spark.driver.memory", "1g")).lower()
