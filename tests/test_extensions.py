@@ -495,3 +495,56 @@ def test_pair_join_hint_plan_shape(spark):
     assert "SortMergeJoin" in plan(merged)
     auto = generate_candidates(blocks, None, EmbedderConfig(pair_join_hint="auto"))
     assert "BroadcastHashJoin" in plan(auto)
+
+
+def test_decode_kernel_properties():
+    """Property check (no Spark): decode_wav_meta/decode_bmp_meta recover
+    the exact generation parameters for arbitrary valid payloads."""
+    import io
+    import struct
+    import wave
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pprl_spark.operators.multimodal import decode_bmp_meta, decode_wav_meta
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        amp=st.integers(min_value=1, max_value=32767),
+        half_frames=st.integers(min_value=4, max_value=400),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def wav_roundtrip(amp, half_frames, rate):
+        frames = half_frames * 2
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(struct.pack("<" + "h" * frames, *([amp, -amp] * half_frames)))
+        m = decode_wav_meta(buf.getvalue())
+        assert m["channels"] == 1 and m["sample_rate"] == rate
+        assert m["duration_ms"] == int(round(frames * 1000 / rate))
+        assert abs(m["level"] - amp / 32768.0) < 1e-12
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w_px=st.integers(min_value=1, max_value=40),
+        h_px=st.integers(min_value=1, max_value=20),
+        fill=st.integers(min_value=0, max_value=255),
+    )
+    def bmp_roundtrip(w_px, h_px, fill):
+        row_bytes = (w_px * 3 + 3) // 4 * 4
+        row = bytes([fill] * (w_px * 3)) + b"\x00" * (row_bytes - w_px * 3)
+        pixels = row * h_px
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w_px, h_px, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+        )
+        payload = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54) + info + pixels
+        m = decode_bmp_meta(payload)
+        assert (m["width"], m["height"]) == (w_px, h_px)
+        assert abs(m["level"] - fill / 255.0) < 1e-12
+
+    wav_roundtrip()
+    bmp_roundtrip()
