@@ -101,6 +101,8 @@ def _bloom(df: DataFrame) -> DataFrame:
     from pprl_spark.functions.hashing import bloom_indices_with_collisions
 
     def kernel(batches):
+        from pprl_spark.functions.hashing import pack_bitmap
+
         for pdf in batches:
             memo: dict = {}
             out = [
@@ -114,13 +116,19 @@ def _bloom(df: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "feats": pdf["feats"],
                     "bf_indices": [o[0] for o in out],
+                    # join-side bitmap precomputed HERE (not as a JVM
+                    # higher-order function): HOFs are interpreted-eval
+                    # and may be re-evaluated once per consumer — the
+                    # cause of an intermittent 5x stall in the pair join
+                    "bf_bitmap": [pack_bitmap(o[0], BF_SIZE // 64) for o in out],
                     "collision_fraction": [o[1] for o in out],
                 }
             )
 
     return df.mapInPandas(
         kernel,
-        "doc_id long, feats array<string>, bf_indices array<int>, collision_fraction double",
+        "doc_id long, feats array<string>, bf_indices array<int>, "
+        "bf_bitmap array<bigint>, collision_fraction double",
     )
 
 
@@ -157,7 +165,10 @@ def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             keys.append(F.concat_ws("-", F.lit(f"mh{band}"), *parts))
         return sig.select(
-            "doc_id", "bf_indices", F.explode(F.array(*keys)).alias("block_key")
+            "doc_id",
+            "bf_indices",
+            "bf_bitmap",
+            F.explode(F.array(*keys)).alias("block_key"),
         )
 
     return _memoized((_skey(spark), sf_dir, "blocked"), build)
@@ -166,15 +177,17 @@ def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _scored_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed join key + Bloom bitmaps: identical sim values (bit_count of
     # AND == size(array_intersect) on distinct indices — oracle-exact),
-    # ~2.7x smaller join rows and a word-AND intersect kernel
-    from pprl_spark.operators.candidates import bitmap_intersect_count, bloom_bitmap_col
+    # ~2.7x smaller join rows and a word-AND intersect kernel. The bitmap
+    # comes precomputed from the _bloom kernel (bf_bitmap) — never as a
+    # JVM higher-order function, which is interpreted and re-evaluable
+    # per consumer (the intermittent 5x pair-join stall)
+    from pprl_spark.operators.candidates import bitmap_intersect_count
 
-    n_words = BF_SIZE // 64
     blocks = _blocked(spark, sf_dir)
     sides = blocks.select(
         "doc_id",
         F.xxhash64("block_key").alias("bk"),
-        bloom_bitmap_col(F.col("bf_indices"), n_words).alias("bm"),
+        F.col("bf_bitmap").alias("bm"),
         F.size("bf_indices").alias("n"),
     )
     left = sides.select(

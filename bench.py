@@ -71,12 +71,16 @@ def main() -> None:
     spark = get_spark(app_name="pprl_bench", master=f"local[{CPUS}]")
     q = entry.queries()
 
+    # linkage_synthetic runs FIRST: it is the north-star workload and the
+    # most memory-sensitive query (guarded 126MB broadcast + two stage
+    # checkpoints); running it on a fresh heap removes the session-state
+    # sensitivity that intermittently doubled its time mid-suite
     suite = {
+        "linkage_synthetic": bench_linkage_synthetic,
         "pprl_embed": lambda s: q["pprl_bloom_stats"](s, SF_DIR).count(),
         "pprl_block_score": lambda s: q["pprl_score_pairs"](s, SF_DIR).count(),
         "pprl_match": lambda s: q["pprl_mutual_best_match"](s, SF_DIR).count(),
         "pprl_clusters": lambda s: q["pprl_clusters"](s, SF_DIR).count(),
-        "linkage_synthetic": bench_linkage_synthetic,
         "dedup_minhash": lambda s: minhash_near_duplicates(
             entry._docs(s, SF_DIR), k=3, threshold=0.5
         ).count(),
@@ -95,7 +99,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     n_docs = entry._docs(spark, SF_DIR).count()
+    import gc
+
     for name, fn in suite.items():
+        gc.collect()  # release dropped DataFrames so ContextCleaner can
+        # free their checkpoint/broadcast blocks before the next query
         t0 = time.time()
         rows[name] = fn(spark)
         timings[name] = round(time.time() - t0, 3)

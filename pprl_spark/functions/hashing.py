@@ -80,3 +80,25 @@ def bloom_indices(
 ) -> list[int]:
     """Index list only — analog of bloom_filter_vector (bloom_filters.py:83-106)."""
     return bloom_indices_with_collisions(features, size, num_hashes, offset, salt)[0]
+
+
+def pack_bitmap(indices: Iterable[int], n_words: int) -> list[int]:
+    """Bloom index list -> fixed-width bitmap as signed int64 words.
+
+    Exact Python twin of ``operators.candidates.bloom_bitmap_col`` (the
+    JVM higher-order-function form), including the two's-complement
+    wrap of bit 63 — ``tests/test_hashing.py`` pins the equality. Built
+    here so the embed kernel can emit the join-side bitmap ONCE per
+    document: Spark's higher-order functions never enter whole-stage
+    codegen, so computing the bitmap as a JVM expression costs ~1ms of
+    interpreted eval per evaluation — and the optimizer is free to
+    re-evaluate an expression per consumer, which turned the candidate
+    join intermittently 5x slower (thread dumps showed all cores in
+    ``ArrayAggregate.eval``). A 16-word column computed in Python at
+    embed time is ~2.7x smaller than the index array it replaces on the
+    join side and is never recomputed.
+    """
+    words = [0] * n_words
+    for ix in indices:
+        words[ix >> 6] |= 1 << (ix & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]

@@ -151,4 +151,9 @@ def explode_blocks(
     stage table entirely.
     """
     cols = [id_col, "bf_indices", *(extra_cols or [])]
+    if "bf_bitmap" in df.columns and "bf_bitmap" not in cols:
+        # precomputed join-side bitmap (embed kernel): 128B/doc vs ~360B
+        # of indices — cheaper through the ~10x key explosion, and spares
+        # the candidate join its interpreted-HOF bitmap reconstruction
+        cols.append("bf_bitmap")
     return df.select(*cols, F.explode("block_keys").alias("block_key"))

@@ -214,17 +214,31 @@ def generate_candidates(
     # (hashed key, bitmaps, bit_count AND) — the shuffle/sort rows are
     # ~2.7x smaller and the per-pair intersect is 16 word-ANDs.
     n_words = -(-(config.bf_size + config.offset) // 64)
+
+    def bitmap_of(blocks):
+        # Prefer the bitmap the embed kernel precomputed (bf_bitmap):
+        # the JVM construction below is a higher-order function — always
+        # interpreted eval (HOFs never enter whole-stage codegen) at
+        # ~1ms/row, and the optimizer may re-evaluate the expression once
+        # per consumer (join side, salt-size agg, cap agg), which showed
+        # up as an intermittent 5x stall with every core inside
+        # ArrayAggregate.eval. The fallback keeps old stage tables and
+        # bare (id, bf_indices, block_key) inputs working.
+        if "bf_bitmap" in blocks.columns:
+            return F.col("bf_bitmap")
+        return bloom_bitmap_col(F.col("bf_indices"), n_words)
+
     left = blocks1.select(
         F.col(id_col).alias("id1"),
         F.xxhash64("block_key").alias("_bk"),
-        bloom_bitmap_col(F.col("bf_indices"), n_words).alias("_bm1"),
+        bitmap_of(blocks1).alias("_bm1"),
         F.size("bf_indices").alias("_n1"),
     )
     right_src = blocks2 if blocks2 is not None else blocks1
     right = right_src.select(
         F.col(id_col).alias("id2"),
         F.xxhash64("block_key").alias("_bk"),
-        bloom_bitmap_col(F.col("bf_indices"), n_words).alias("_bm2"),
+        bitmap_of(right_src).alias("_bm2"),
         F.size("bf_indices").alias("_n2"),
     )
 

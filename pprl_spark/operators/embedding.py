@@ -95,18 +95,23 @@ def embed_documents(
         config.salt,
     )
     in_fields = [f.name for f in df.schema.fields]
+    n_words = -(-(bf_size + offset) // 64)
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
             T.StructField("features", T.ArrayType(T.StringType())),
             T.StructField("bf_indices", T.ArrayType(T.IntegerType())),
+            T.StructField("bf_bitmap", T.ArrayType(T.LongType())),
             T.StructField("collision_fraction", T.DoubleType()),
         ]
     )
 
     def kernel(batches):
         from pprl_spark.functions import tokens as TK
-        from pprl_spark.functions.hashing import bloom_indices_with_collisions
+        from pprl_spark.functions.hashing import (
+            bloom_indices_with_collisions,
+            pack_bitmap,
+        )
 
         kernels = TK.FEATURE_KERNELS
         plan = []
@@ -121,7 +126,7 @@ def embed_documents(
         for pdf in batches:
             memo: dict = {}
             n = len(pdf)
-            feats_out, idx_out, coll_out = [], [], []
+            feats_out, idx_out, bm_out, coll_out = [], [], [], []
             cols = {field: pdf[field].to_numpy() for field, _, _ in plan}
             for i in range(n):
                 per_col = []
@@ -136,9 +141,17 @@ def embed_documents(
                 )
                 feats_out.append(sorted(feats))
                 idx_out.append(idx)
+                # join-side bitmap computed ONCE here: the JVM
+                # higher-order-function form is interpreted (never
+                # codegen'd) and can be re-evaluated per consumer —
+                # see functions.hashing.pack_bitmap
+                bm_out.append(pack_bitmap(idx, n_words))
                 coll_out.append(coll)
             yield pdf.assign(
-                features=feats_out, bf_indices=idx_out, collision_fraction=coll_out
+                features=feats_out,
+                bf_indices=idx_out,
+                bf_bitmap=bm_out,
+                collision_fraction=coll_out,
             )
 
     emb = df.mapInPandas(kernel, out_schema)
@@ -150,7 +163,7 @@ def embed_documents(
         F.when(F.size("bf_indices") > 0, F.sqrt(F.size("bf_indices"))).otherwise(F.lit(0.0)),
     )
     if keep is not None:
-        cols = list(dict.fromkeys(keep + ["features", "bf_indices", "bf_norms", "collision_fraction"]))
+        cols = list(dict.fromkeys(keep + ["features", "bf_indices", "bf_bitmap", "bf_norms", "collision_fraction"]))
         emb = emb.select(*[c for c in cols if c in emb.columns])
     return emb
 

@@ -56,6 +56,12 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("PPRL_DRIVER_MEMORY", "2g" if n_threads <= 8 else "5g"),
         )
+        # Long-lived local sessions accumulate broadcast/checkpoint blocks
+        # whose cleanup waits on driver GC (ContextCleaner is weak-ref
+        # driven); the default 30min periodic GC lets a multi-query bench
+        # session build memory pressure that intermittently doubles a
+        # query's wall time. 2min bounds the drift.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # Arrow's JNI critical sections starve G1 allocations under load

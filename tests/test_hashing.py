@@ -42,3 +42,29 @@ def test_index_bounds_and_collision_range(feats, size, num_hashes, offset):
     assert all(offset <= i < size + offset for i in idx)
     assert 0.0 <= coll < 1.0
     assert idx == sorted(set(idx))
+
+
+def test_pack_bitmap_matches_jvm_bitmap(spark):
+    """Python pack_bitmap (embed kernel) == bloom_bitmap_col (JVM HOF)
+    for boundary-heavy index sets, incl. bit 63's two's-complement wrap."""
+    from pyspark.sql import functions as F
+
+    from pprl_spark.functions.hashing import pack_bitmap
+    from pprl_spark.operators.candidates import bloom_bitmap_col
+
+    cases = [
+        [],
+        [0],
+        [63],
+        [64],
+        [0, 63, 64, 127, 128, 1023],
+        list(range(0, 1024, 7)),
+        [62, 63, 64, 65, 510, 511, 512, 513],
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, ix array<int>")
+    got = {
+        r["i"]: r["bm"]
+        for r in df.select("i", bloom_bitmap_col(F.col("ix"), 16).alias("bm")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == pack_bitmap(c, 16), c
