@@ -57,10 +57,10 @@ def bench_linkage_synthetic(spark):
     A = synthesize_documents(spark, SYN_N, "A")
     B = synthesize_documents(spark, SYN_N, "B")
     blocks_a = explode_blocks(
-        add_block_keys(embed_documents(A, cfg, keep=KEEP), cfg)
+        add_block_keys(embed_documents(A, cfg, keep=KEEP), cfg), include_indices=False
     ).localCheckpoint()
     blocks_b = explode_blocks(
-        add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg)
+        add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg), include_indices=False
     ).localCheckpoint()
     cand = generate_candidates(blocks_a, blocks_b, cfg, min_sim=cfg.abs_cutoff)
     matches = mutual_best_match(cand)

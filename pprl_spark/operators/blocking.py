@@ -139,9 +139,13 @@ def add_block_keys(
 
 
 def explode_blocks(
-    df: DataFrame, id_col: str = "doc_id", extra_cols: list[str] | None = None
+    df: DataFrame,
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+    include_indices: bool = True,
 ) -> DataFrame:
-    """(id, bf_indices, block_key) — one row per (document, key).
+    """(id, [bf_indices,] bf_n, [bf_bitmap,] block_key) — one row per
+    (document, key).
 
     Projects down to the columns the candidate join actually needs BEFORE
     exploding: each document emits ~10 keys, so every extra column is
@@ -149,11 +153,24 @@ def explode_blocks(
     checkpoint. Carrying the ~150-string ``features`` array here measured
     ~6x slower blocking at 40k docs; at 10^12 docs it would dominate the
     stage table entirely.
+
+    ``include_indices=False`` drops the ~360B ``bf_indices`` array too —
+    when a precomputed ``bf_bitmap`` exists, the candidate join needs
+    only the 128B bitmap and the scalar ``bf_n`` (set cardinality for the
+    similarity denominator), so the exploded stage table shrinks ~60%.
+    The pipeline's block stages use this; keep indices when downstream
+    consumers (per-block Hungarian scoring, SCM alignment) read them.
     """
-    cols = [id_col, "bf_indices", *(extra_cols or [])]
+    cols = [id_col, *(extra_cols or [])]
+    if include_indices or "bf_bitmap" not in df.columns:
+        cols.insert(1, "bf_indices")
     if "bf_bitmap" in df.columns and "bf_bitmap" not in cols:
         # precomputed join-side bitmap (embed kernel): 128B/doc vs ~360B
         # of indices — cheaper through the ~10x key explosion, and spares
         # the candidate join its interpreted-HOF bitmap reconstruction
         cols.append("bf_bitmap")
-    return df.select(*cols, F.explode("block_keys").alias("block_key"))
+    return df.select(
+        *cols,
+        F.size("bf_indices").alias("bf_n"),
+        F.explode("block_keys").alias("block_key"),
+    )

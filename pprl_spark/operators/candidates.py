@@ -228,18 +228,23 @@ def generate_candidates(
             return F.col("bf_bitmap")
         return bloom_bitmap_col(F.col("bf_indices"), n_words)
 
+    def n_of(blocks):
+        if "bf_n" in blocks.columns:
+            return F.col("bf_n")
+        return F.size("bf_indices")
+
     left = blocks1.select(
         F.col(id_col).alias("id1"),
         F.xxhash64("block_key").alias("_bk"),
         bitmap_of(blocks1).alias("_bm1"),
-        F.size("bf_indices").alias("_n1"),
+        n_of(blocks1).alias("_n1"),
     )
     right_src = blocks2 if blocks2 is not None else blocks1
     right = right_src.select(
         F.col(id_col).alias("id2"),
         F.xxhash64("block_key").alias("_bk"),
         bitmap_of(right_src).alias("_bm2"),
-        F.size("bf_indices").alias("_n2"),
+        n_of(right_src).alias("_n2"),
     )
 
     # ---- skew salting -------------------------------------------------

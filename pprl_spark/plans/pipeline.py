@@ -322,10 +322,14 @@ def run_linkage(
     emb_b = pipe.stage("embed_b", lambda: embed_documents(docs_b, config, keep=keep))
 
     blk_a = pipe.stage(
-        "block_a", lambda: explode_blocks(add_block_keys(emb_a, config)), deps=["embed_a"]
+        "block_a",
+        lambda: explode_blocks(add_block_keys(emb_a, config), include_indices=False),
+        deps=["embed_a"],
     )
     blk_b = pipe.stage(
-        "block_b", lambda: explode_blocks(add_block_keys(emb_b, config)), deps=["embed_b"]
+        "block_b",
+        lambda: explode_blocks(add_block_keys(emb_b, config), include_indices=False),
+        deps=["embed_b"],
     )
 
     cand = pipe.stage(

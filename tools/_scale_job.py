@@ -43,10 +43,10 @@ def main() -> None:
 
     t0 = time.time()
     blocks_a = explode_blocks(
-        add_block_keys(embed_documents(A, cfg, keep=KEEP), cfg)
+        add_block_keys(embed_documents(A, cfg, keep=KEEP), cfg), include_indices=False
     ).localCheckpoint()
     blocks_b = explode_blocks(
-        add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg)
+        add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg), include_indices=False
     ).localCheckpoint()
     cand = generate_candidates(blocks_a, blocks_b, cfg, min_sim=cfg.abs_cutoff)
     n_matches = mutual_best_match(cand).count()
