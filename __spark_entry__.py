@@ -811,6 +811,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec",
         )
 
+    def delta_match_pairs(spark, sf_dir):
+        # streaming delta-match decomposition, oracle-checked: split the
+        # corpus deterministically (doc_id %% 5 == 0 -> "newly landed"),
+        # score only pairs involving a delta doc via delta_candidates
+        # (new-vs-corpus + new-vs-new through the salted blocked join).
+        # The oracle computes ALL self-pairs over the full table (the
+        # union) and keeps those touching a delta doc — equal by the
+        # exact decomposition tests/test_streaming_delta.py pins.
+        from pprl_spark.config import EmbedderConfig
+        from pprl_spark.streaming.incremental import delta_candidates
+
+        blocks = _blocked(spark, sf_dir)
+        corpus = blocks.where(F.col("doc_id") % 5 != 0)
+        delta = blocks.where(F.col("doc_id") % 5 == 0)
+        cfg = EmbedderConfig(bf_size=BF_SIZE, num_hashes=NUM_HASHES)
+        out = delta_candidates(corpus, delta, cfg, cap=False)
+        return out.select(
+            F.col("id1").cast("long").alias("id1"),
+            F.col("id2").cast("long").alias("id2"),
+            F.round("sim", 6).alias("sim"),
+        )
+
     def multimodal_decode(spark, sf_dir):
         # REAL decode end-to-end: synthesize genuine WAV (even ids) and
         # BMP (odd ids) payloads with doc_id-derived parameters, decode
@@ -951,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": events_windowed,
         "events_sessionize": events_sessionize,
         "multimodal_decode": multimodal_decode,
+        "delta_match_pairs": delta_match_pairs,
     }
 
 
@@ -1411,6 +1434,10 @@ SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.2
         "ann_lsh_buckets": ann_lsh_sql,
         "ann_ivf": ann_ivf_sql,
         "multimodal_meta": multimodal_meta_sql,
+        "delta_match_pairs": (
+        SQL_PAIRS
+        + " SELECT id1, id2, sim FROM pairs WHERE id1 % 5 = 0 OR id2 % 5 = 0"
+    ),
         "multimodal_decode": """
 SELECT doc_id::BIGINT AS doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'image/bmp' END AS container,
