@@ -57,18 +57,33 @@ def connected_components(
             .groupBy(F.col("u").alias("doc_id"))
             .agg(F.min("entity_id").alias("_nmin"))
         )
+        updated = labels.join(neighbor_min, "doc_id", "left").withColumn(
+            "_new",
+            F.coalesce(
+                F.least(F.col("entity_id"), F.col("_nmin")), F.col("entity_id")
+            ),
+        )
+        # path halving (pointer jumping): label(u) <- label(label(u)).
+        # entity_id is always a doc_id of the same component, so chasing
+        # one hop through the label table is legal and turns O(diameter)
+        # propagation into O(log diameter) — a 12-hop chain converges in
+        # 4 rounds instead of 12. The jump join is label-table-sized
+        # (one row per doc), far cheaper than the edge join above.
+        jump = updated.select(
+            F.col("doc_id").alias("_e"), F.col("_new").alias("_j")
+        )
         updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .withColumn("_new", F.least(F.col("entity_id"), F.col("_nmin")))
-            .withColumn("_new", F.coalesce(F.col("_new"), F.col("entity_id")))
+            updated.join(jump, updated["_new"] == jump["_e"], "left")
+            .withColumn("_final", F.coalesce(F.col("_j"), F.col("_new")))
+            .select("doc_id", "entity_id", "_final")
         )
         if checkpoint_each:
             # eager checkpoint FIRST, then derive the convergence check from
             # the checkpointed frame: one execution of the join/agg per
             # iteration (the check is a cheap scan of materialized rows)
             updated = updated.localCheckpoint()
-        changed = updated.where(F.col("_new") != F.col("entity_id")).limit(1).count()
-        labels = updated.select("doc_id", F.col("_new").alias("entity_id"))
+        changed = updated.where(F.col("_final") != F.col("entity_id")).limit(1).count()
+        labels = updated.select("doc_id", F.col("_final").alias("entity_id"))
         if changed == 0:
             break
     if changed != 0:

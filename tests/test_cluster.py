@@ -29,3 +29,23 @@ def test_entity_id_is_min(spark):
     df = spark.createDataFrame([("b", "a"), ("c", "b")], "id1 string, id2 string")
     rows = {r["doc_id"]: r["entity_id"] for r in connected_components(df).collect()}
     assert rows == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_connected_components_long_chain_log_convergence(spark):
+    """Path halving converges a 200-node path graph in O(log d) rounds.
+
+    Pure neighbor-min propagation moves a label one hop per iteration —
+    a 200-node chain would exceed the 50-iteration budget and raise; the
+    pointer-jumping step makes the same chain converge in ~log2(200)+k
+    rounds, so max_iterations=16 suffices.
+    """
+    from pprl_spark.operators.cluster import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    labels = connected_components(edges, max_iterations=16)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r["entity_id"] for r in rows} == {0}
