@@ -357,8 +357,18 @@ def run_linkage(
 
     if use_thresholds:
         def self_pairs(blk, emb):
+            # thresholds must come from the SAME scoring function as the
+            # cross-pairs they mask (the reference's self-compare uses its
+            # one similarity, embedder.py:115-135): apply the scm rescore
+            # and/or the jw blend here exactly as the candidates stage did
             p = generate_candidates(blk, None, config)
-            return _scm_rescore(p, emb, emb, scm) if scm is not None else p
+            if scm is not None:
+                p = _scm_rescore(p, emb, emb, scm)
+            if jw_field is not None:
+                from pprl_spark.operators.matching import jaro_winkler_rescore
+
+                p = jaro_winkler_rescore(p, emb, None, jw_field, weight=jw_weight)
+            return p
 
         thr_a = pipe.stage(
             "thresholds_a",
