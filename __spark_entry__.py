@@ -42,6 +42,21 @@ MH_ROWS = MH_PERMS // MH_BANDS
 _MEMO: dict[tuple, DataFrame] = {}
 
 
+def _floor6(col):
+    """Order- and engine-deterministic 6-decimal truncation.
+
+    ``round(x, 6)`` diverges between engines when x's exact decimal
+    expansion ties at the 7th digit — which HAPPENS for ratios of small
+    integers with power-of-2/5 denominators (quality = k/80, jaccard =
+    p/2^a, WAV level = amp/2^15): Spark rounds the binary double, DuckDB
+    rounds a decimal rendering, and a tie resolves differently (observed
+    once at sf0.001: 0.661562 vs 0.661563). floor(x*1e6)/1e6 evaluates
+    identically on the identical IEEE double both engines compute, with
+    no tie to resolve. SQL twin: floor(x * 1000000)/1000000.0.
+    """
+    return F.floor(col * F.lit(1e6)) / F.lit(1e6)
+
+
 def _skey(spark: SparkSession) -> str:
     # applicationId, not id(spark): id() values can be reused after a
     # session is GC'd, silently serving a dead session's plans
@@ -596,7 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     {
                         "doc_id": pdf["doc_id"],
                         "jw": [
-                            round(jaro_winkler(a, b), 6)
+                            __import__('math').floor(jaro_winkler(a, b) * 1e6) / 1e6
                             for a, b in zip(pdf["t"], pdf["t2"])
                         ],
                     }
@@ -629,7 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id1").cast("long").alias("id1"),
             F.col("id2").cast("long").alias("id2"),
             "sim",
-            F.round("jw_sim", 6).alias("jw_sim"),
+            _floor6(F.col("jw_sim")).alias("jw_sim"),
         )
 
     def dedup_minhash(spark, sf_dir):
@@ -641,7 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(
             F.col("id1").cast("long"),
             F.col("id2").cast("long"),
-            F.round("jaccard", 6).alias("jaccard"),
+            _floor6(F.col("jaccard")).alias("jaccard"),
         )
 
     def dedup_simhash(spark, sf_dir):
@@ -659,7 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(
             F.col("id1").cast("long"),
             F.col("id2").cast("long"),
-            F.round("jaccard", 6).alias("jaccard"),
+            _floor6(F.col("jaccard")).alias("jaccard"),
         )
 
     def dedup_embedding(spark, sf_dir):
@@ -715,7 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             TXT.token_count("text").cast("long").alias("n_tokens"),
             TXT.distinct_token_count("text").cast("long").alias("n_distinct"),
             TXT.bpe_token_count("text").cast("long").alias("n_bpe"),
-            F.round(TXT.quality_score("text"), 6).alias("quality"),
+            _floor6(TXT.quality_score("text")).alias("quality"),
             TXT.fingerprint("text").alias("fp"),
             TXT.lang_id("text").alias("lang_pred"),
         )
@@ -909,7 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("duration_ms").cast("long"), F.lit(-1)).alias("duration_ms"),
             F.coalesce(F.col("channels").cast("long"), F.lit(-1)).alias("channels"),
             F.coalesce(F.col("sample_rate").cast("long"), F.lit(-1)).alias("sample_rate"),
-            F.round("level", 6).alias("level"),
+            _floor6(F.col("level")).alias("level"),
         )
 
     def events_sessionize(spark, sf_dir):
@@ -1003,7 +1018,7 @@ def oracle_sql() -> dict[str, str]:
   FROM documents
 )
 SELECT p.id1, p.id2, p.sim,
-       round(jaro_winkler_similarity(a.t12, b.t12), 6) AS jw_sim
+       floor(jaro_winkler_similarity(a.t12, b.t12) * 1000000)/1000000.0 AS jw_sim
 FROM pairs p
 JOIN t12 a ON a.doc_id = p.id1
 JOIN t12 b ON b.doc_id = p.id2
@@ -1145,9 +1160,9 @@ scored AS (
 )
 SELECT s.doc_id, n_tokens, n_distinct,
        len(regexp_extract_all(lower(d.text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))::BIGINT AS n_bpe,
-       round(0.4 * least(1.0, n_tokens / 50.0)
-             + 0.3 * distinct_ratio
-             + 0.3 * least(1.0, mean_len / 8.0), 6) AS quality,
+       floor((0.4 * least(1.0, n_tokens / 50.0)
+              + 0.3 * distinct_ratio
+              + 0.3 * least(1.0, mean_len / 8.0)) * 1000000)/1000000.0 AS quality,
        fp,
        CASE WHEN best.score > 0 THEN best.code ELSE 'und' END AS lang_pred
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
@@ -1274,7 +1289,7 @@ WITH t AS (
          array_to_string(regexp_split_to_array(lower(text), '\s+')[1:12], ' ') AS t12
   FROM documents
 )
-SELECT a.doc_id, round(jaro_winkler_similarity(a.t12, b.t12), 6) AS jw
+SELECT a.doc_id, floor(jaro_winkler_similarity(a.t12, b.t12) * 1000000)/1000000.0 AS jw
 FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
 """
 
@@ -1329,7 +1344,7 @@ scored AS (
            / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))) AS j
   FROM pairs
 )
-SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.4
+SELECT id1, id2, floor(j * 1000000)/1000000.0 AS jaccard FROM scored WHERE j >= 0.4
 """
     )
 
@@ -1403,7 +1418,7 @@ scored AS (
            / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))) AS j
   FROM pairs
 )
-SELECT id1, id2, round(j, 6) AS jaccard FROM scored WHERE j >= 0.2
+SELECT id1, id2, floor(j * 1000000)/1000000.0 AS jaccard FROM scored WHERE j >= 0.2
 """
     )
 
@@ -1447,8 +1462,8 @@ SELECT doc_id::BIGINT AS doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 1::BIGINT ELSE -1 END AS channels,
        CASE WHEN doc_id % 2 = 0 THEN 8000::BIGINT ELSE -1 END AS sample_rate,
        CASE WHEN doc_id % 2 = 0
-            THEN round((1000 + (doc_id % 50) * 500) / 32768.0, 6)
-            ELSE round((doc_id % 256) / 255.0, 6) END AS level
+            THEN floor((1000 + (doc_id % 50) * 500) / 32768.0 * 1000000)/1000000.0
+            ELSE floor((doc_id % 256) / 255.0 * 1000000)/1000000.0 END AS level
 FROM documents
 """,
         "events_sessionize": """

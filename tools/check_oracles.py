@@ -23,6 +23,13 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# Oracles backed by committed golden fixtures built from the sf0.01
+# corpus (the driver's correctness scale): at any other sf the fixture
+# cannot match by construction, so the checker reports them as scoped
+# rather than failed. Every other oracle is closed-form SQL and must
+# pass at EVERY scale (verified at sf0.001 and sf0.01).
+FIXTURE_SCOPED = {"pprl_scm_scored", "pprl_assignment", "pprl_metaphone"}
+
 
 def norm_cell(v):
     if isinstance(v, float):
@@ -39,8 +46,12 @@ def run(sf_dir: str, only: list[str]) -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in FIXTURE_SCOPED and sf_tag != "sf0.01":
+            print(f"SKIP {name}: golden fixture is sf0.01-scoped")
             continue
         try:
             sdf = fn(spark, sf_dir)
