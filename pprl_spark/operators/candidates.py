@@ -163,18 +163,21 @@ def cap_blocks(
     cap = config.max_block_size
     if not cap:
         return blocks
+    # bucketed stage tables carry the hashed key (_bk) instead of the
+    # block_key string — thin on whichever identifies the block
+    key = "block_key" if "block_key" in blocks.columns else "_bk"
     hot = (
-        blocks.groupBy("block_key")
+        blocks.groupBy(key)
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") > cap)
         .withColumn("_factor", F.ceil(F.col("_n") / F.lit(cap)).cast("long"))
-        .select("block_key", "_factor")
+        .select(key, "_factor")
     )
     return (
-        blocks.join(F.broadcast(hot), "block_key", "left")
+        blocks.join(F.broadcast(hot), key, "left")
         .where(
             F.col("_factor").isNull()
-            | (F.pmod(F.xxhash64("block_key", id_col), F.col("_factor")) == 0)
+            | (F.pmod(F.xxhash64(key, id_col), F.col("_factor")) == 0)
         )
         .drop("_factor")
     )
@@ -233,16 +236,25 @@ def generate_candidates(
             return F.col("bf_n")
         return F.size("bf_indices")
 
+    def bk_of(blocks):
+        # bucketed stage tables (sources.tables.write_bucketed_blocks)
+        # store the hashed key as _bk; joining on the stored column keeps
+        # the scan's bucket distribution valid, so the pair join runs
+        # with ZERO exchanges on pre-bucketed inputs
+        if "_bk" in blocks.columns:
+            return F.col("_bk")
+        return F.xxhash64("block_key")
+
     left = blocks1.select(
         F.col(id_col).alias("id1"),
-        F.xxhash64("block_key").alias("_bk"),
+        bk_of(blocks1).alias("_bk"),
         bitmap_of(blocks1).alias("_bm1"),
         n_of(blocks1).alias("_n1"),
     )
     right_src = blocks2 if blocks2 is not None else blocks1
     right = right_src.select(
         F.col(id_col).alias("id2"),
-        F.xxhash64("block_key").alias("_bk"),
+        bk_of(right_src).alias("_bk"),
         bitmap_of(right_src).alias("_bm2"),
         n_of(right_src).alias("_n2"),
     )
@@ -253,8 +265,19 @@ def generate_candidates(
     # sides: left takes one salted key, right replicates S times. This is
     # the classic salt-and-replicate pattern; S=1 for all but hot keys so
     # replication cost is bounded.
+    #
+    # PRE-BUCKETED inputs (stored _bk column) skip salting entirely:
+    # salting redistributes rows ACROSS a shuffle, and the whole point of
+    # bucketed stage tables is that the join has no shuffle — adding
+    # _salt to the join keys would force the exchange right back in
+    # (Spark requires all cluster keys covered for co-partitioning).
+    # Skew safety comes from cap_blocks, which bounds any block to
+    # max_block_size docs (~cap²/2 pairs per hot bucket task).
+    pre_bucketed = "_bk" in blocks1.columns or (
+        blocks2 is not None and "_bk" in blocks2.columns
+    )
     S = config.salt_buckets
-    if S > 1:
+    if S > 1 and not pre_bucketed:
         sizes = (
             left.groupBy("_bk")
             .agg(F.count("*").alias("_n"))

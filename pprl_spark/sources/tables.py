@@ -76,3 +76,52 @@ def read_flat_csv(
         *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in raw.columns]
     )
     return lift_flat_records(filled, id_col, field_cols)
+
+
+def write_bucketed_blocks(
+    blocks: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Persist an exploded block table bucketed + sorted by the hashed
+    block key, so the candidate pair join reads both sides CO-LOCATED.
+
+    The candidate join's key is ``xxhash64(block_key)``; storing it as a
+    ``_bk`` column and bucketing on it lets the sort-merge join consume
+    both scans with ZERO shuffle exchanges (``Bucketed: true`` on both
+    sides — pinned by ``tests/test_bucketed_blocks.py``). At 10^12
+    documents the pair join's two corpus-sized exchanges are the largest
+    shuffles in the pipeline; pre-bucketed stage tables remove them
+    entirely on re-runs, incremental delta matches (the corpus side is
+    written once, probed many times), and threshold self-joins.
+
+    Salting still composes: a hot block's rows share one ``_bk``, so
+    hash-bucketing by ``_bk`` also clusters (``_bk``, ``_salt``) — Spark
+    accepts the bucket distribution for the salted join keys (subset
+    rule) and only adds an in-partition sort, never an exchange.
+
+    Bucketed writes require the table API (``saveAsTable``); passing
+    ``path`` keeps it an external table so the data lives where the
+    caller says, not in the session warehouse. On a cluster the same
+    call against an Iceberg catalog writes a bucket-partitioned Iceberg
+    table.
+    """
+    cols = [c for c in blocks.columns if c != "block_key"]
+    out = blocks.select(
+        *cols, F.xxhash64("block_key").alias("_bk")
+    )
+    (
+        out.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "_bk")
+        .sortBy("_bk")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed_blocks(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed block table; feed directly to generate_candidates
+    (which detects the precomputed ``_bk`` and joins on it)."""
+    return spark.table(table)

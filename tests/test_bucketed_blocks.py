@@ -1,0 +1,88 @@
+"""Bucketed stage tables: the pair join runs with zero exchanges.
+
+At 10^12 documents the candidate join's two corpus-sized shuffles are
+the pipeline's largest exchanges; bucketing the exploded block tables by
+the hashed block key removes them entirely (corpus written once, probed
+by every delta match / threshold pass / re-run). These tests pin the
+plan property, the end-to-end equality with the unbucketed path, and
+the composition with the rest of the operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pprl_spark.config import EmbedderConfig
+from pprl_spark.operators.blocking import add_block_keys, explode_blocks
+from pprl_spark.operators.candidates import generate_candidates
+from pprl_spark.operators.embedding import embed_documents
+from pprl_spark.sources.synthetic import synthesize_documents
+from pprl_spark.sources.tables import read_bucketed_blocks, write_bucketed_blocks
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    cfg = EmbedderConfig(pair_join_hint="merge")
+    blocks = {}
+    for src in ("A", "B"):
+        docs = synthesize_documents(spark, 400, src)
+        blk = explode_blocks(
+            add_block_keys(embed_documents(docs, cfg, keep=["doc_id"]), cfg),
+            include_indices=False,
+        )
+        table = f"bl_{src.lower()}_bucketed"
+        write_bucketed_blocks(blk, table, str(base / src), n_buckets=4)
+        blocks[src] = (blk.localCheckpoint(), table)
+    yield cfg, blocks
+    for _, table in blocks.values():
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_pair_join_zero_exchange(spark, bucketed):
+    cfg, blocks = bucketed
+    a = read_bucketed_blocks(spark, blocks["A"][1])
+    b = read_bucketed_blocks(spark, blocks["B"][1])
+    assert "_bk" in a.columns and "block_key" not in a.columns
+    cand = generate_candidates(a, b, cfg, cap=False)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("SortMergeJoin")[-1]  # below the join: scans
+    assert "Bucketed: true" in join_part
+    # the join's inputs come straight from the bucketed scans — the only
+    # exchange in the whole plan is the pair-dedupe groupBy above the join
+    above_join = plan.split("SortMergeJoin")[0]
+    assert join_part.count("Exchange") == 0
+    assert above_join.count("Exchange") <= 1
+
+
+def test_bucketed_equals_unbucketed(spark, bucketed):
+    cfg, blocks = bucketed
+    a_plain, a_table = blocks["A"]
+    b_plain, b_table = blocks["B"]
+    plain = {
+        (r["id1"], r["id2"], round(r["sim"], 9))
+        for r in generate_candidates(a_plain, b_plain, cfg, cap=False).collect()
+    }
+    bucketed_out = {
+        (r["id1"], r["id2"], round(r["sim"], 9))
+        for r in generate_candidates(
+            read_bucketed_blocks(spark, a_table),
+            read_bucketed_blocks(spark, b_table),
+            cfg,
+            cap=False,
+        ).collect()
+    }
+    assert plain == bucketed_out and plain
+
+
+def test_bucketed_with_cap_and_salt(spark, bucketed):
+    """cap_blocks and salting run on _bk-keyed tables (no block_key)."""
+    cfg, blocks = bucketed
+    cfg_capped = cfg.with_args(max_block_size=5, salt_buckets=4)
+    out = generate_candidates(
+        read_bucketed_blocks(spark, blocks["A"][1]),
+        read_bucketed_blocks(spark, blocks["B"][1]),
+        cfg_capped,
+    )
+    assert out.count() > 0
