@@ -709,14 +709,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_exact(spark, sf_dir):
         # 128-bit fingerprint (two independent xxhash64s of the normalized
         # text) as the grouping key: the shuffle carries 16 bytes per doc,
-        # never the document text. The oracle groups by norm_text itself —
-        # identical output unless both 64-bit hashes collide (~2^-128)
+        # never the document text. The salt goes FIRST in fp2 — Spark's
+        # multi-arg xxhash64 seeds each argument with the running hash, so
+        # xxhash64(norm, 1) would be a function of fp1 (no extra bits);
+        # xxhash64(1, norm) hashes under an independent seed. The oracle
+        # groups by norm_text itself — identical output unless both
+        # independent 64-bit hashes collide (~2^-128)
         docs = _docs(spark, sf_dir)
         norm = F.array_join(TXT.words_col("text"), " ")
         keyed = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.xxhash64(norm).alias("fp1"),
-            F.xxhash64(norm, F.lit(1)).alias("fp2"),
+            F.xxhash64(F.lit(1), norm).alias("fp2"),
         )
         canon = keyed.groupBy("fp1", "fp2").agg(
             F.min("doc_id").alias("canonical_id"), F.count("*").cast("long").alias("n_copies")

@@ -175,6 +175,10 @@ def _lloyd_centroids(
     )
     X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    # a small corpus (or the sample cap) can yield fewer sample vectors
+    # than requested centroids; clamp so the seed slice and the Lloyd /
+    # emit loops below never index past the sample
+    n_centroids = min(n_centroids, len(X))
     C = X[:n_centroids].copy()
     for _ in range(iters):
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)

@@ -47,6 +47,7 @@ def choose_pair_join_hint(
     build_rows: int,
     driver_heap: int | None = None,
     exec_heap: int | None = None,
+    n_words: int = 16,
 ) -> str:
     """Pick the pair-join strategy from observable state.
 
@@ -56,10 +57,14 @@ def choose_pair_join_hint(
     at 400k docs — driver OOM). ``auto`` replaces that guess with a
     counted build side and the *configured* memory:
 
-    - **broadcast** when the estimated in-memory relation (measured
-      ~700B/row for the (key, id, bitmap, n) rows at bf_size=1024 —
-      the 100k-doc run built ~400MB from ~600k rows) fits in 10% of the
-      smaller of driver/executor heap. This recovers the fast plan for
+    - **broadcast** when the estimated in-memory relation fits in 10%
+      of the smaller of driver/executor heap. Bytes/row scales with the
+      Bloom width: the bitmap is ``8*n_words`` B plus a measured ~572 B
+      of fixed per-row overhead (key, id, n, hash-relation slots) — the
+      calibration point is 700 B/row at bf_size=1024 (n_words=16), the
+      100k-doc run's ~400MB from ~600k rows. A fixed 700 B/row constant
+      underestimated bf_size=8192 relations ~2.3x and could authorize a
+      broadcast past the heap bound. This recovers the fast plan for
       small-to-medium corpora WITH a provable bound, instead of trusting
       Catalyst's estimate.
     - **merge** (sort-merge) otherwise — spills, completes at any scale.
@@ -85,9 +90,21 @@ def choose_pair_join_hint(
         driver_heap = _heap_bytes(spark, "spark.driver.memory")
     if exec_heap is None:
         exec_heap = _heap_bytes(spark, "spark.executor.memory", default="0")
-    if exec_heap == 0:  # local mode: the driver JVM is the executor
-        exec_heap = driver_heap
-    inmem_bytes = build_rows * 700  # measured hash-relation footprint/row
+    if exec_heap == 0:
+        # spark.executor.memory is unset. Only in local mode does the
+        # driver JVM double as the executor; on a cluster an unset conf
+        # means Spark's 1g per-executor default, and substituting a large
+        # driver heap here would authorize a broadcast the 1g executors
+        # cannot hold (the exact OOM this bound exists to prevent).
+        master = str(spark.conf.get("spark.master", "") or "")
+        if master.startswith("local"):
+            exec_heap = driver_heap
+        else:
+            exec_heap = 2**30  # Spark's executor-memory default: 1g
+    # bytes/row = bitmap (8*n_words) + measured fixed overhead (~572B of
+    # key/id/n plus hash-relation slots); 700B/row at the n_words=16
+    # calibration point
+    inmem_bytes = build_rows * (8 * n_words + 572)
     if inmem_bytes < 0.10 * min(driver_heap, exec_heap):
         return "broadcast"
     return "merge"
@@ -271,11 +288,24 @@ def generate_candidates(
     # bucketed stage tables is that the join has no shuffle — adding
     # _salt to the join keys would force the exchange right back in
     # (Spark requires all cluster keys covered for co-partitioning).
-    # Skew safety comes from cap_blocks, which bounds any block to
-    # max_block_size docs (~cap²/2 pairs per hot bucket task).
-    pre_bucketed = "_bk" in blocks1.columns or (
-        blocks2 is not None and "_bk" in blocks2.columns
+    # Skew safety on that path comes from cap_blocks, which bounds any
+    # block to max_block_size docs (~cap²/2 pairs per hot bucket task) —
+    # so the zero-exchange path requires cap=True. Salting is skipped
+    # only when BOTH sides are bucketed: with one plain side the join
+    # shuffles that side anyway, and trading the single-side bucket reuse
+    # for hot-key salting is the safe default.
+    pre_bucketed = "_bk" in blocks1.columns and (
+        blocks2 is None or "_bk" in blocks2.columns
     )
+    if pre_bucketed and not cap:
+        import warnings
+
+        warnings.warn(
+            "generate_candidates: pre-bucketed inputs skip salting and "
+            "cap=False disables block capping — no skew protection is "
+            "active. Pass cap=True (default) on bucketed inputs.",
+            stacklevel=2,
+        )
     S = config.salt_buckets
     if S > 1 and not pre_bucketed:
         sizes = (
@@ -323,7 +353,7 @@ def generate_candidates(
         # count the un-bitmapped source (scan-only on materialized input);
         # 1.25 covers the salt replication of hot blocks (bounded by S)
         build_rows = int(right_src.count() * 1.25)
-        hint = choose_pair_join_hint(left.sparkSession, build_rows)
+        hint = choose_pair_join_hint(left.sparkSession, build_rows, n_words=n_words)
     if hint == "broadcast":
         pairs = left.join(F.broadcast(right), join_keys)
     else:

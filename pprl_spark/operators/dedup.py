@@ -26,10 +26,16 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     groupBy is a hash aggregation with map-side partial combine, and the
     shuffle key is two independent xxhash64s of the normalized text —
     16 bytes per doc, so the document text itself NEVER moves through a
-    shuffle. At 128 bits the birthday-collision odds at 10^12 docs are
-    ~3e-14; a 64-bit (let alone the old 30-bit rolling-hash) key would
-    have to collide at corpus scale, which is why the old shape had to
-    drag ``norm_text`` along as a confirm column.
+    shuffle. Independence matters: Spark's multi-arg xxhash64 feeds the
+    running hash forward as the seed for the next argument, so a salt
+    placed AFTER the text (``xxhash64(norm, 1)``) is a deterministic
+    function of ``xxhash64(norm)`` and buys zero extra bits. Salting
+    FIRST (``xxhash64(1, norm)``) hashes the text under a different
+    running seed, giving a genuinely independent second 64-bit value.
+    At 128 independent bits the birthday-collision odds at 10^12 docs
+    are ~3e-14; a 64-bit key would have to collide at corpus scale,
+    which is why the old shape had to drag ``norm_text`` along as a
+    confirm column.
     """
     norm = F.array_join(
         F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")),
@@ -38,7 +44,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     keyed = df.select(
         F.col(id_col).alias("doc_id"),
         F.xxhash64(norm).alias("fp1"),
-        F.xxhash64(norm, F.lit(1)).alias("fp2"),
+        F.xxhash64(F.lit(1), norm).alias("fp2"),
     )
     groups = keyed.groupBy("fp1", "fp2").agg(
         F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")

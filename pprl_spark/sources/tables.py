@@ -97,10 +97,13 @@ def write_bucketed_blocks(
     entirely on re-runs, incremental delta matches (the corpus side is
     written once, probed many times), and threshold self-joins.
 
-    Salting still composes: a hot block's rows share one ``_bk``, so
-    hash-bucketing by ``_bk`` also clusters (``_bk``, ``_salt``) — Spark
-    accepts the bucket distribution for the salted join keys (subset
-    rule) and only adds an in-partition sort, never an exchange.
+    Salting does NOT apply on this path: ``generate_candidates`` skips
+    the salt-and-replicate step when both inputs carry a stored ``_bk``
+    (salt keys would force the exchange right back in — Spark requires
+    every cluster key covered for co-partitioning). Skew safety on
+    bucketed joins comes from ``cap_blocks``, which bounds any block to
+    ``max_block_size`` docs; keep ``cap=True`` (the default) when
+    feeding bucketed tables.
 
     Bucketed writes require the table API (``saveAsTable``); passing
     ``path`` keeps it an external table so the data lives where the

@@ -83,3 +83,18 @@ def test_ann_recall_auto_params(spark, n):
     lsh = lsh_topk(corpus, queries, DIM, k=K, multiprobe=True)
     r_lsh = _recall(lsh, exact)
     assert r_lsh >= 0.4, f"LSH recall {r_lsh} at n={n}"
+
+
+def test_ivf_lloyd_clamps_centroids_to_sample(spark):
+    """n_centroids larger than the corpus (or the driver sample cap) must
+    clamp, not IndexError inside the Lloyd loop (advice r3)."""
+    corpus = _make_vectors(spark, 20)
+    queries = _make_vectors(spark, 2).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    out = ivf_topk(
+        corpus, queries, k=3, n_centroids=50, nprobe=4, kmeans_iters=2
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r["query_id"] for r in rows} == {0, 1}

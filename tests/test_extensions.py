@@ -35,6 +35,32 @@ def test_exact_duplicates(spark, corpus):
     assert got == {(1, 1), (2, 1)}
 
 
+def test_exact_dup_fingerprint_halves_independent(spark):
+    """The 128-bit fingerprint must be two INDEPENDENT 64-bit hashes.
+
+    Spark's multi-arg xxhash64 seeds each argument with the running hash,
+    so xxhash64(s, 1) is a pure function of xxhash64(s) — any fp1
+    collision would silently imply an fp2 collision and the pair is
+    really 64 bits. Salt-first (xxhash64(1, s)) hashes the text under a
+    different running seed. Pin that the trailing-salt and leading-salt
+    forms differ (they'd be equal only if the salt position didn't
+    matter), and that the dedup output groups by norm text exactly.
+    """
+    df = spark.range(1).select(
+        F.xxhash64(F.lit("abc")).alias("h"),
+        F.xxhash64(F.lit("abc"), F.lit(1)).alias("trailing"),
+        F.xxhash64(F.lit(1), F.lit("abc")).alias("leading"),
+    )
+    r = df.collect()[0]
+    assert r["leading"] != r["trailing"]
+    assert r["leading"] != r["h"]
+    # functional check: whitespace-normalized equal texts merge; distinct don't
+    rows = [(10, "a  b\tc"), (11, " a b c "), (12, "a b d")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["canonical_id"]) for r in exact_duplicates(docs).collect()}
+    assert got == {(10, 10), (11, 10)}
+
+
 def test_minhash_near_duplicates(spark, corpus):
     pairs = {
         (r["id1"], r["id2"])

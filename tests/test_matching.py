@@ -155,6 +155,47 @@ def test_choose_pair_join_hint_boundaries(spark):
     assert raw[-1] in "kmgt0123456789"
 
 
+def test_choose_pair_join_hint_scales_with_bloom_width(spark):
+    """The build-side estimate must track n_words: a bf_size=8192 bitmap
+    (128 words = 1KB/row) is ~2.3x the bf_size=1024 row, so a count that
+    broadcasts at n_words=16 must NOT be allowed to at n_words=128 when
+    the margin is thin."""
+    from pprl_spark.operators.candidates import choose_pair_join_hint
+
+    G = 2**30
+    rows = 600_000  # 16 words: 600k*700B = 420MB; 128 words: 600k*1596B = 958MB
+    assert choose_pair_join_hint(
+        spark, rows, driver_heap=5 * G, exec_heap=5 * G, n_words=16
+    ) == "broadcast"
+    assert choose_pair_join_hint(
+        spark, rows, driver_heap=5 * G, exec_heap=5 * G, n_words=128
+    ) == "merge"
+
+
+def test_choose_pair_join_hint_cluster_unset_executor_memory(spark, monkeypatch):
+    """On a cluster with spark.executor.memory unset, the bound must use
+    Spark's 1g executor default — NOT the (possibly huge) driver heap,
+    which would authorize a broadcast the executors cannot hold."""
+    from pprl_spark.operators import candidates as C
+
+    G = 2**30
+    real_get = spark.conf.get
+
+    def fake_get(key, default=None):
+        if key == "spark.master":
+            return "spark://cluster-master:7077"
+        if key == "spark.executor.memory":
+            return default  # unset on the cluster
+        return real_get(key, default)
+
+    monkeypatch.setattr(spark.conf, "get", fake_get)
+    # 3M rows * 700B = 2.1GB: fits 10% of a 32g driver heap (3.2g) but
+    # must be demoted to merge against the 1g executor default (0.1g)
+    assert C.choose_pair_join_hint(spark, 3_000_000, driver_heap=32 * G) == "merge"
+    # tiny build still broadcasts under the 1g executor bound
+    assert C.choose_pair_join_hint(spark, 100_000, driver_heap=32 * G) == "broadcast"
+
+
 def test_mutual_best_self_linkage_one_to_one(spark):
     """Self-linkage: no document may appear in two kept pairs, even across
     the id1/id2 columns (the two-party windows cannot guarantee this)."""
