@@ -239,6 +239,23 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs over documents (k=2, J>=0.4, 4x2 banding).
+
+    Memoized + materialized: ``dedup_minhash`` and ``dedup_clusters`` use
+    the identical pair table — sharing the localCheckpoint runs the
+    shingle/minhash/band join once per session instead of once per query
+    (it was 23% of suite time combined with the CC loop)."""
+    from pprl_spark.operators.dedup import minhash_near_duplicates
+
+    return _memoized(
+        (_skey(spark), sf_dir, "minhash_dedup_pairs"),
+        lambda: minhash_near_duplicates(
+            _docs(spark, sf_dir), k=2, threshold=0.4, bands=4, rows_per_band=2
+        ).localCheckpoint(),
+    )
+
+
 def _mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutually-best matches (rank 1 both directions) over the pair table.
 
@@ -648,11 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def dedup_minhash(spark, sf_dir):
-        from pprl_spark.operators.dedup import minhash_near_duplicates
-
-        out = minhash_near_duplicates(
-            _docs(spark, sf_dir), k=2, threshold=0.4, bands=4, rows_per_band=2
-        )
+        out = _minhash_dedup_pairs(spark, sf_dir)
         return out.select(
             F.col("id1").cast("long"),
             F.col("id2").cast("long"),
@@ -695,11 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_minhash) — each doc gets entity_id = min doc_id of its
         # component; singleton docs are not emitted (no edges)
         from pprl_spark.operators.cluster import connected_components
-        from pprl_spark.operators.dedup import minhash_near_duplicates
 
-        pairs = minhash_near_duplicates(
-            _docs(spark, sf_dir), k=2, threshold=0.4, bands=4, rows_per_band=2
-        )
+        pairs = _minhash_dedup_pairs(spark, sf_dir)
         cc = connected_components(pairs.select("id1", "id2"))
         return cc.select(
             F.col("doc_id").cast("long").alias("doc_id"),

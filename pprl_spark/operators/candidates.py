@@ -290,12 +290,16 @@ def generate_candidates(
     # (Spark requires all cluster keys covered for co-partitioning).
     # Skew safety on that path comes from cap_blocks, which bounds any
     # block to max_block_size docs (~cap²/2 pairs per hot bucket task) —
-    # so the zero-exchange path requires cap=True. Salting is skipped
-    # only when BOTH sides are bucketed: with one plain side the join
-    # shuffles that side anyway, and trading the single-side bucket reuse
-    # for hot-key salting is the safe default.
-    pre_bucketed = "_bk" in blocks1.columns and (
-        blocks2 is None or "_bk" in blocks2.columns
+    # so the zero-exchange path requires cap=True (warning below).
+    # ONE bucketed side also disables salting, deliberately: Spark then
+    # shuffles only the plain side into the bucket distribution — the
+    # delta-match shape, where a small delta probes a big write-once
+    # corpus with zero corpus-side exchange. Salting would replicate the
+    # corpus over the salt range every batch, re-introducing the very
+    # shuffle bucketing removes, to protect against a skew that
+    # cap_blocks already bounds.
+    pre_bucketed = "_bk" in blocks1.columns or (
+        blocks2 is not None and "_bk" in blocks2.columns
     )
     if pre_bucketed and not cap:
         import warnings

@@ -78,11 +78,17 @@ def connected_components(
             .select("doc_id", "entity_id", "_final")
         )
         if checkpoint_each:
-            # eager checkpoint FIRST, then derive the convergence check from
-            # the checkpointed frame: one execution of the join/agg per
-            # iteration (the check is a cheap scan of materialized rows)
-            updated = updated.localCheckpoint()
-        changed = updated.where(F.col("_final") != F.col("entity_id")).limit(1).count()
+            # LAZY checkpoint + full-scan convergence count = ONE job per
+            # iteration: the count action computes every partition, which
+            # materializes the checkpoint storage in the same pass, and
+            # the truncated lineage keeps the next iteration's plan flat.
+            # (The previous shape — eager checkpoint, then a second
+            # limit(1) probe job — paid two scheduled jobs per iteration;
+            # the probe must be a FULL count here, since a limit(1)
+            # short-circuit could leave the lazy checkpoint partially
+            # materialized.)
+            updated = updated.localCheckpoint(eager=False)
+        changed = updated.where(F.col("_final") != F.col("entity_id")).count()
         labels = updated.select("doc_id", F.col("_final").alias("entity_id"))
         if changed == 0:
             break

@@ -574,3 +574,21 @@ def test_decode_kernel_properties():
 
     wav_roundtrip()
     bmp_roundtrip()
+
+
+def test_numbered_small_fast_path_matches_distributed_ranks(spark):
+    """The counted small-input fast path in _numbered must assign the
+    exact slots the range-partitioned path assigns (same global rank by
+    the order column) — the SCM training fixture depends on it."""
+    from pprl_spark.operators.private_index import _numbered
+
+    df = spark.range(500).select(
+        F.col("id"), F.xxhash64("id", F.lit(7)).alias("_h")
+    )
+    fast, n_fast = _numbered(df, "_h", offset=0, range_by=True, known_count=500)
+    slow, n_slow = _numbered(df, "_h", offset=0, range_by=True)
+    assert n_fast == n_slow == 500
+    a = {r["id"]: r["slot"] for r in fast.collect()}
+    b = {r["id"]: r["slot"] for r in slow.collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(500))
