@@ -256,6 +256,35 @@ def _minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_blocks_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-side block table persisted BUCKETED by the hashed block key.
+
+    The write-once/probe-many artifact incremental matching reads: the
+    corpus blocks are clustered by ``_bk`` on disk, so every delta batch
+    joins against co-located scans with zero corpus-side exchange
+    (``operators.candidates`` skips salting on the bucketed path and the
+    plain delta side alone is shuffled into the bucket distribution).
+    Memoized per session — the one-time clustering write happens on first
+    use, like every other memoized stage in this suite."""
+
+    def build():
+        import hashlib
+        import tempfile
+
+        from pprl_spark.sources.tables import write_bucketed_blocks
+
+        corpus = _blocked(spark, sf_dir).where(F.col("doc_id") % 5 != 0)
+        n = spark.sparkContext.defaultParallelism
+        tag = hashlib.md5(f"{_skey(spark)}:{sf_dir}".encode()).hexdigest()[:10]
+        table = f"pprl_bench_corpus_{tag}"
+        path = tempfile.mkdtemp(prefix="pprl_corpus_bkt_")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        write_bucketed_blocks(corpus, table, path, n_buckets=n)
+        return spark.table(table)
+
+    return _memoized((_skey(spark), sf_dir, "corpus_bkt"), build)
+
+
 def _mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutually-best matches (rank 1 both directions) over the pair table.
 
@@ -851,9 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pprl_spark.config import EmbedderConfig
         from pprl_spark.streaming.incremental import delta_candidates
 
-        blocks = _blocked(spark, sf_dir)
-        corpus = blocks.where(F.col("doc_id") % 5 != 0)
-        delta = blocks.where(F.col("doc_id") % 5 == 0)
+        corpus = _corpus_blocks_bucketed(spark, sf_dir)
+        delta = _blocked(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
         cfg = EmbedderConfig(bf_size=BF_SIZE, num_hashes=NUM_HASHES)
         out = delta_candidates(corpus, delta, cfg, cap=False)
         return out.select(
@@ -863,14 +891,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def multimodal_decode(spark, sf_dir):
-        # REAL decode end-to-end: synthesize genuine WAV (even ids) and
-        # BMP (odd ids) payloads with doc_id-derived parameters, decode
-        # the BYTES with the stdlib kernels (operators.multimodal), and
-        # let the oracle recompute the expected fields in closed form
-        # from the same parameters. Float parity is exact by design:
-        # square-wave RMS = amp/32768 (binary-exact: /2^15), frame count
-        # divisible by 8 so duration_ms is integral, BMP level = fill/255
-        # of the same double on both engines.
+        # REAL decode end-to-end: synthesize genuine WAV (doc_id%3==0),
+        # BMP (%3==1) and PNG (%3==2) payloads with doc_id-derived
+        # parameters, decode the BYTES with the stdlib kernels
+        # (operators.multimodal — the PNG path inflates IDAT with zlib
+        # and reconstructs row filters), and let the oracle recompute the
+        # expected fields in closed form from the same parameters. Float
+        # parity is exact by design: square-wave RMS = amp/32768
+        # (binary-exact: /2^15), frame count divisible by 8 so
+        # duration_ms is integral, BMP/PNG level = fill/255 of the same
+        # double on both engines.
         import struct as _struct
 
         import pandas as pd
@@ -887,7 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 rows = []
                 for did in pdf["doc_id"]:
                     did = int(did)
-                    if did % 2 == 0:
+                    if did % 3 == 0:
                         amp = 1000 + (did % 50) * 500
                         frames = 400 + (did % 100) * 8
                         buf = io.BytesIO()
@@ -902,7 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 )
                             )
                         payload = buf.getvalue()
-                    else:
+                    elif did % 3 == 1:
                         w_px = 4 + did % 16
                         h_px = 2 + did % 7
                         fill = did % 256
@@ -918,6 +948,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             + _struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
                             + info
                             + pixels
+                        )
+                    else:
+                        from pprl_spark.operators.multimodal import encode_png
+
+                        w_px = 3 + did % 13
+                        h_px = 2 + did % 5
+                        fill = (did * 7) % 256
+                        payload = encode_png(
+                            w_px, h_px, bytes([fill]) * (w_px * h_px * 3)
                         )
                     rows.append((did, f"m://{did}", payload, "media"))
                 yield pd.DataFrame(
@@ -1469,15 +1508,16 @@ SELECT id1, id2, floor(j * 1000000)/1000000.0 AS jaccard FROM scored WHERE j >= 
     ),
         "multimodal_decode": """
 SELECT doc_id::BIGINT AS doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'image/bmp' END AS container,
-       CASE WHEN doc_id % 2 = 1 THEN (4 + doc_id % 16)::BIGINT ELSE -1 END AS width,
-       CASE WHEN doc_id % 2 = 1 THEN (2 + doc_id % 7)::BIGINT ELSE -1 END AS height,
-       CASE WHEN doc_id % 2 = 0 THEN ((400 + (doc_id % 100) * 8) / 8)::BIGINT ELSE -1 END AS duration_ms,
-       CASE WHEN doc_id % 2 = 0 THEN 1::BIGINT ELSE -1 END AS channels,
-       CASE WHEN doc_id % 2 = 0 THEN 8000::BIGINT ELSE -1 END AS sample_rate,
-       CASE WHEN doc_id % 2 = 0
-            THEN floor((1000 + (doc_id % 50) * 500) / 32768.0 * 1000000)/1000000.0
-            ELSE floor((doc_id % 256) / 255.0 * 1000000)/1000000.0 END AS level
+       CASE doc_id % 3 WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/bmp' ELSE 'image/png' END AS container,
+       CASE doc_id % 3 WHEN 0 THEN -1 WHEN 1 THEN (4 + doc_id % 16)::BIGINT ELSE (3 + doc_id % 13)::BIGINT END AS width,
+       CASE doc_id % 3 WHEN 0 THEN -1 WHEN 1 THEN (2 + doc_id % 7)::BIGINT ELSE (2 + doc_id % 5)::BIGINT END AS height,
+       CASE doc_id % 3 WHEN 0 THEN ((400 + (doc_id % 100) * 8) / 8)::BIGINT ELSE -1 END AS duration_ms,
+       CASE doc_id % 3 WHEN 0 THEN 1::BIGINT WHEN 1 THEN -1 ELSE 3::BIGINT END AS channels,
+       CASE doc_id % 3 WHEN 0 THEN 8000::BIGINT ELSE -1 END AS sample_rate,
+       CASE doc_id % 3
+            WHEN 0 THEN floor((1000 + (doc_id % 50) * 500) / 32768.0 * 1000000)/1000000.0
+            WHEN 1 THEN floor((doc_id % 256) / 255.0 * 1000000)/1000000.0
+            ELSE floor(((doc_id * 7) % 256) / 255.0 * 1000000)/1000000.0 END AS level
 FROM documents
 """,
         "events_sessionize": """

@@ -7,19 +7,23 @@ processed in Arrow batches via ``mapInPandas``.
 
 Decode kernels come in two tiers:
 
-- **REAL, stdlib-only** (``decode_wav_meta``/``decode_bmp_meta`` +
-  the ``decode_media`` operator): WAV audio is parsed with the stdlib
-  ``wave`` module (channels, sample rate, exact duration, RMS level from
-  the PCM frames via numpy) and uncompressed BMP images with ``struct``
-  (width/height/bpp plus the mean pixel level from the actual pixel
-  rows). These decode genuine bytes end-to-end with no external library.
-- **STUBS by design** for compressed codecs (JPEG/PNG/H.264/Opus): no
-  imaging/av libraries exist in this container, so ``decode_image``
-  raises ``NotImplementedError`` (strict mode) or produces a
-  deterministic fake derived from the payload bytes (test mode).
-  Swapping in PIL/torchvision later changes only the kernel body — the
-  Arrow batching, dispatch-by-magic-bytes, schema and partitioning are
-  the same paths the real WAV/BMP kernels already exercise.
+- **REAL, stdlib-only** (``decode_wav_meta``/``decode_bmp_meta``/
+  ``decode_png_meta`` + the ``decode_media`` operator): WAV audio is
+  parsed with the stdlib ``wave`` module (channels, sample rate, exact
+  duration, RMS level from the PCM frames via numpy), uncompressed BMP
+  with ``struct`` (width/height/bpp plus the mean pixel level from the
+  actual pixel rows), and PNG with ``struct`` + ``zlib`` (IHDR header,
+  full IDAT inflate, per-row Sub/Up/Average/Paeth filter reconstruction,
+  mean level from the decoded samples). These decode genuine bytes
+  end-to-end with no external library; ``encode_png`` is the matching
+  stdlib writer for test payload synthesis.
+- **STUBS by design** for codecs needing external libraries
+  (JPEG/H.264/Opus/FLAC): ``decode_image`` raises
+  ``NotImplementedError`` (strict mode) or produces a deterministic
+  fake derived from the payload bytes (test mode). Swapping in
+  PIL/torchvision later changes only the kernel body — the Arrow
+  batching, dispatch-by-magic-bytes, schema and partitioning are the
+  same paths the real WAV/BMP/PNG kernels already exercise.
 """
 
 from __future__ import annotations
@@ -151,6 +155,146 @@ def decode_bmp_meta(payload: bytes) -> dict:
     }
 
 
+def decode_png_meta(payload: bytes) -> dict:
+    """REAL image decode, stdlib-only: parse a PNG payload.
+
+    IHDR gives dimensions/bit depth/color type with ``struct``; the IDAT
+    stream is zlib (stdlib) — for non-interlaced 8-bit grayscale/RGB/RGBA
+    the per-row filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) are
+    reconstructed and the mean pixel level computed from the actual
+    decoded samples. Every image byte is read, like a thumbnailer would.
+    Unsupported shapes (16-bit, palette, interlaced) still return header
+    metadata with ``level=None``.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = b""
+    w = h = bitd = ct = interlace = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bitd, ct, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
+    level = None
+    if bitd == 8 and interlace == 0 and ct in (0, 2, 6) and idat and w and h:
+        raw = zlib.decompress(idat)
+        bpp = channels
+        stride = w * bpp
+        prev = np.zeros(stride, dtype=np.uint8)
+        total = 0
+        rpos = 0
+        for _r in range(h):
+            ftype = raw[rpos]
+            cur = np.frombuffer(raw, np.uint8, stride, rpos + 1).copy()
+            rpos += 1 + stride
+            if ftype == 2:  # Up (vectorized; uint8 addition wraps mod 256)
+                cur += prev
+            elif ftype == 1:  # Sub
+                for i in range(bpp, stride):
+                    cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = int(cur[i - bpp]) if i >= bpp else 0
+                    cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = int(cur[i - bpp]) if i >= bpp else 0
+                    b = int(prev[i])
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (int(cur[i]) + pred) & 0xFF
+            total += int(cur.astype(np.int64).sum())
+            prev = cur
+        level = total / (h * stride) / 255.0
+    return {
+        "container": "image/png",
+        "width": int(w) if w is not None else None,
+        "height": int(h) if h is not None else None,
+        "channels": int(channels) if channels is not None else None,
+        "sample_rate": None,
+        "duration_ms": None,
+        "level": level,
+    }
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 2,
+    filters: list[int] | None = None,
+) -> bytes:
+    """stdlib PNG writer (8-bit, non-interlaced) for tests and synthesis.
+
+    ``filters`` selects the per-row filter type (default all 0); applying
+    Sub/Up/Average/Paeth here and decoding back is the round-trip that
+    proves ``decode_png_meta``'s reconstruction is the true inverse.
+    """
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = width * channels
+    assert len(pixels) == stride * height, "pixel buffer does not match dims"
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        cur = pixels[r * stride : (r + 1) * stride]
+        f = filters[r]
+        raw.append(f)
+        for i in range(stride):
+            x = cur[i]
+            a = cur[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = (x - a) & 0xFF
+            elif f == 2:
+                v = (x - b) & 0xFF
+            elif f == 3:
+                v = (x - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (x - pred) & 0xFF
+            else:
+                raise ValueError(f"unknown filter {f}")
+            raw.append(v)
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 DECODE_SCHEMA = (
     "media_ref string, container string, width int, height int, "
     "duration_ms int, channels int, sample_rate int, level double"
@@ -176,10 +320,12 @@ def decode_media(media: DataFrame, strict: bool = True) -> DataFrame:
                     m = decode_wav_meta(p)
                 elif p[:2] == b"BM":
                     m = decode_bmp_meta(p)
+                elif p[:8] == b"\x89PNG\r\n\x1a\n":
+                    m = decode_png_meta(p)
                 elif strict:
                     raise NotImplementedError(
-                        "only WAV and BMP decode in this environment; "
-                        "compressed codecs need PIL/av (strict=False "
+                        "only WAV, BMP and PNG decode in this environment; "
+                        "other compressed codecs need PIL/av (strict=False "
                         "falls back to deterministic fake metadata)"
                     )
                 else:

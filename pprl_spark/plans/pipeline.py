@@ -50,7 +50,15 @@ from pprl_spark.operators.matching import (
 
 
 class ParquetStageIO:
-    """Stage tables as parquet dirs + JSON manifests (local/posix)."""
+    """Stage tables as parquet dirs + JSON manifests (local/posix).
+
+    Stages written with ``bucket=n`` go through ``saveAsTable``/
+    ``bucketBy`` (sources.tables.write_bucketed_blocks) so downstream
+    block-key joins consume co-located scans with zero exchanges; the
+    manifest records the bucket count, and reads re-register the catalog
+    table when a fresh session resumes (bucket metadata is catalog
+    state, not file state — see sources.tables.register_bucketed_table).
+    """
 
     def __init__(self, base_dir: str):
         self.base = base_dir
@@ -61,6 +69,12 @@ class ParquetStageIO:
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self.base, f"{stage}._manifest.json")
 
+    def _table_name(self, stage: str) -> str:
+        import hashlib
+
+        tag = hashlib.md5(os.path.abspath(self.base).encode()).hexdigest()[:8]
+        return f"pprl_stage_{tag}_{stage}"
+
     def manifest(self, stage: str) -> dict | None:
         p = self._manifest_path(stage)
         if not os.path.exists(p):
@@ -69,10 +83,29 @@ class ParquetStageIO:
             return json.load(f)
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        man = self.manifest(stage) or {}
+        bucket = man.get("bucket")
+        if bucket:
+            from pprl_spark.sources.tables import register_bucketed_table
+
+            return register_bucketed_table(
+                spark, self._table_name(stage), self._dir(stage), bucket
+            )
         return spark.read.parquet(self._dir(stage))
 
     def write(self, df: DataFrame, stage: str, manifest: dict) -> None:
-        df.write.mode("overwrite").parquet(self._dir(stage))
+        bucket = manifest.get("bucket")
+        if bucket:
+            from pprl_spark.sources.tables import write_bucketed_blocks
+
+            spark = df.sparkSession
+            table = self._table_name(stage)
+            # drop a stale catalog entry so the overwrite re-registers
+            # against the (possibly changed) schema/bucket count
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            write_bucketed_blocks(df, table, self._dir(stage), n_buckets=bucket)
+        else:
+            df.write.mode("overwrite").parquet(self._dir(stage))
         tmp = self._manifest_path(stage) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -180,8 +213,15 @@ class Pipeline:
         build: Callable[[], DataFrame],
         extra: dict[str, str] | None = None,
         deps: list[str] | None = None,
+        bucket: int | None = None,
     ) -> DataFrame:
+        """``bucket=n``: persist this stage bucketed by the hashed block
+        key (zero-exchange downstream joins); recorded in the manifest so
+        resume reads restore the bucketed scan, and folded into the
+        checksum so toggling bucketing invalidates the stage."""
         checksum = f"{self.config.checksum}:{self.run_params_hash}"
+        if bucket:
+            checksum = f"{checksum}:bkt{bucket}"
         man = self.io.manifest(name)
         upstream_fresh = not any(d in self.executed for d in (deps or []))
         if man is not None and man.get("config_hash") == checksum and upstream_fresh:
@@ -198,6 +238,7 @@ class Pipeline:
                 "stage": name,
                 "config_hash": checksum,
                 "ts": time.time(),
+                **({"bucket": bucket} if bucket else {}),
             },
         )
         out = self.io.read(self.spark, name)
@@ -283,10 +324,21 @@ def run_linkage(
     scm=None,
     jw_field: str | None = None,
     jw_weight: float = 0.3,
+    bucket_blocks: int | None = None,
 ) -> Pipeline:
     """The full staged DAG (SURVEY.md §7.2): embed -> block -> candidates
     [-> scm rescore] [-> jw rescore] [-> thresholds] -> match -> cluster,
     each stage checkpointed.
+
+    ``bucket_blocks``: bucket count for the block stage tables (``None``
+    = auto: the session's default parallelism; ``0`` disables). Bucketed
+    block stages are written once clustered by the hashed block key, so
+    the candidates join, the threshold self-joins, and any later delta
+    probe against these stage tables run with zero shuffle exchanges —
+    the write pays one clustering pass; every downstream join and every
+    resumed run reads co-located scans for free. At 10^12 docs the two
+    corpus-sized candidate-join exchanges are the pipeline's largest
+    shuffles; this removes them.
 
     ``scm``: optional trained soft-cosine matrix (``operators.scm.
     train_scm``). When given, candidate and self-candidate pairs are
@@ -305,12 +357,17 @@ def run_linkage(
     keep = keep or ["doc_id", "true_id", "given_name", "surname", "date_of_birth", "sex", "address", "postcode"]
     io = ParquetStageIO(base_dir)
 
+    if bucket_blocks is None:
+        bucket_blocks = spark.sparkContext.defaultParallelism
+    bucket_blocks = bucket_blocks or None  # 0 -> disabled
+
     scm_tag = ""
     if scm is not None:
         scm_tag = hashlib.md5(scm.astype("float64").tobytes()).hexdigest()[:12]
     params = (
         f"thr={int(use_thresholds)};rounds={match_rounds};scm={scm_tag};"
         f"jw={jw_field}:{jw_weight if jw_field else ''};"
+        f"bkt={bucket_blocks or 0};"
         f"in={_input_fingerprint(docs_a)},{_input_fingerprint(docs_b)}"
     )
     pipe = Pipeline(
@@ -325,11 +382,13 @@ def run_linkage(
         "block_a",
         lambda: explode_blocks(add_block_keys(emb_a, config), include_indices=False),
         deps=["embed_a"],
+        bucket=bucket_blocks,
     )
     blk_b = pipe.stage(
         "block_b",
         lambda: explode_blocks(add_block_keys(emb_b, config), include_indices=False),
         deps=["embed_b"],
+        bucket=bucket_blocks,
     )
 
     cand = pipe.stage(

@@ -111,10 +111,16 @@ def write_bucketed_blocks(
     call against an Iceberg catalog writes a bucket-partitioned Iceberg
     table.
     """
-    cols = [c for c in blocks.columns if c != "block_key"]
-    out = blocks.select(
-        *cols, F.xxhash64("block_key").alias("_bk")
-    )
+    if "_bk" in blocks.columns:
+        out = blocks  # already hashed (e.g. a read-back stage table)
+    else:
+        cols = [c for c in blocks.columns if c != "block_key"]
+        out = blocks.select(*cols, F.xxhash64("block_key").alias("_bk"))
+    # repartition on the bucket column first: bucketBy writes one file per
+    # (task, bucket) pair, and repartition's HashPartitioning is the same
+    # murmur3-pmod the bucket id uses, so each task holds exactly one
+    # bucket -> n_buckets files total instead of tasks x buckets
+    out = out.repartition(n_buckets, "_bk")
     (
         out.write.mode("overwrite")
         .option("path", path)
@@ -127,4 +133,30 @@ def write_bucketed_blocks(
 def read_bucketed_blocks(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed block table; feed directly to generate_candidates
     (which detects the precomputed ``_bk`` and joins on it)."""
+    return spark.table(table)
+
+
+def register_bucketed_table(
+    spark: SparkSession, table: str, path: str, n_buckets: int, bucket_col: str = "_bk"
+) -> DataFrame:
+    """(Re-)register an existing bucketed parquet directory in the catalog.
+
+    Bucket metadata lives in the session catalog, not the files — a NEW
+    session resuming a pipeline would read the same parquet as a plain
+    (unbucketed) scan and silently pay the join exchanges again. The file
+    names written by ``bucketBy`` encode the bucket ids, so a
+    ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` over the directory
+    restores the zero-exchange scans exactly; the schema comes from the
+    parquet footers. Idempotent: an already-registered table is returned
+    as-is.
+    """
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING PARQUET "
+        f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
     return spark.table(table)

@@ -86,3 +86,79 @@ def test_bucketed_with_cap_and_salt(spark, bucketed):
         cfg_capped,
     )
     assert out.count() > 0
+
+
+def test_self_join_thresholds_zero_exchange(spark, bucketed):
+    """The threshold self-compare consumes ONE bucketed scan on both
+    sides of its join — subset-rule co-partitioning, no Exchange."""
+    cfg, blocks = bucketed
+    a = read_bucketed_blocks(spark, blocks["A"][1])
+    self_pairs = generate_candidates(a, None, cfg, cap=False)
+    plan = self_pairs._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Bucketed: true" in join_part
+    assert join_part.count("Exchange") == 0
+
+
+def test_delta_probe_single_exchange(spark, bucketed):
+    """A plain (unbucketed) delta probing the bucketed corpus shuffles
+    ONLY the delta side — the corpus scan stays exchange-free and no
+    salting is injected (salt keys would force the corpus exchange
+    back). This is the incremental-match hot path: corpus written once,
+    probed by every delta batch."""
+    cfg, blocks = bucketed
+    corpus = read_bucketed_blocks(spark, blocks["A"][1])
+    # delta: a plain block table still carrying the block_key string
+    docs = synthesize_documents(spark, 60, "D")
+    delta = explode_blocks(
+        add_block_keys(embed_documents(docs, cfg, keep=["doc_id"]), cfg),
+        include_indices=False,
+    )
+    cand = generate_candidates(delta, corpus, cfg, cap=False)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Bucketed: true" in join_part  # corpus side from the bucketed scan
+    assert join_part.count("Exchange") == 1  # delta side only
+    assert "_salt" not in plan
+
+
+def test_pipeline_bucketed_stage_tables_zero_exchange(spark, tmp_path_factory):
+    """run_linkage persists bucketed block stages; a resumed session's
+    candidates join over the read-back stage tables is exchange-free
+    below the join, and results equal the unbucketed pipeline."""
+    from pprl_spark.plans.pipeline import run_linkage
+    from pprl_spark.sources.synthetic import synthesize_documents as synth
+
+    base = tmp_path_factory.mktemp("pipe_bkt")
+    cfg = EmbedderConfig(pair_join_hint="merge")
+    docs_a = synth(spark, 300, "A")
+    docs_b = synth(spark, 300, "B")
+    pipe = run_linkage(
+        spark, cfg, docs_a, docs_b, str(base / "b"), bucket_blocks=4
+    )
+    matches_bucketed = {
+        (r["id1"], r["id2"]) for r in pipe.io.read(spark, "matches").collect()
+    }
+    # the committed block stages read back bucketed
+    blk_a = pipe.io.read(spark, "block_a")
+    blk_b = pipe.io.read(spark, "block_b")
+    assert "_bk" in blk_a.columns and "block_key" not in blk_a.columns
+    cand = generate_candidates(blk_a, blk_b, cfg, cap=False)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Bucketed: true" in join_part
+    assert join_part.count("Exchange") == 0
+    # equality with the unbucketed pipeline
+    pipe_plain = run_linkage(
+        spark, cfg, docs_a, docs_b, str(base / "p"), bucket_blocks=0
+    )
+    matches_plain = {
+        (r["id1"], r["id2"]) for r in pipe_plain.io.read(spark, "matches").collect()
+    }
+    assert matches_bucketed == matches_plain and matches_bucketed
+    # resume skips every stage and still reads bucketed scans
+    pipe2 = run_linkage(
+        spark, cfg, docs_a, docs_b, str(base / "b"), bucket_blocks=4
+    )
+    assert pipe2.executed == []
+    assert "_bk" in pipe2.io.read(spark, "block_a").columns
