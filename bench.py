@@ -96,8 +96,27 @@ def main() -> None:
         "multimodal_decode": lambda s: q["multimodal_decode"](s, SF_DIR).count(),
     }
 
+    # Queries that perform their full computation on EVERY call — no
+    # cross-run reuse of a memoized localCheckpoint — are re-run for a
+    # median-of-3 when fast: this host's DRAM bandwidth swings 75-230 GB/s
+    # between samples (tools/bench_boxscaling.py), so single-run numbers
+    # under ~10s are noise-indistinguishable from 30-60% regressions.
+    # Memo-backed queries (pprl_embed/block_score/match: their repeat
+    # would just re-count an already-checkpointed frame) and long queries
+    # stay single-run; per-query run counts are recorded in "runs".
+    REPEATABLE = {
+        "pprl_clusters", "dedup_minhash", "dedup_simhash", "text_stats",
+        "ann_topk", "ann_ivf", "scm_scored", "events_windowed",
+        "events_sessionize", "jw_pairs", "dedup_clusters",
+        "multimodal_decode",
+    }
+    REPEAT_UNDER_SECS = 12.0
+
+    import statistics
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    runs: dict[str, int] = {}
     n_docs = entry._docs(spark, SF_DIR).count()
     import gc
 
@@ -106,7 +125,15 @@ def main() -> None:
         # free their checkpoint/broadcast blocks before the next query
         t0 = time.time()
         rows[name] = fn(spark)
-        timings[name] = round(time.time() - t0, 3)
+        samples = [time.time() - t0]
+        if name in REPEATABLE and samples[0] < REPEAT_UNDER_SECS:
+            for _ in range(2):
+                gc.collect()
+                t0 = time.time()
+                fn(spark)
+                samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        runs[name] = len(samples)
 
     total = round(sum(timings.values()), 3)
     pprl_time = timings["pprl_embed"] + timings["pprl_block_score"] + timings["pprl_match"]
@@ -118,6 +145,7 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "rows": rows,
+        "runs": runs,
         "docs_scored_per_sec": round(n_docs / pprl_time, 1) if pprl_time > 0 else None,
         "linkage_docs_per_sec": round(link_docs / timings["linkage_synthetic"], 1),
         "cpus": CPUS,

@@ -27,19 +27,72 @@ from pyspark.sql import functions as F
 log = logging.getLogger(__name__)
 
 
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Counted small-graph fast path: union-find on the driver.
+
+    Entity-resolution match graphs are usually tiny relative to the
+    corpus (matches << docs); below ``SMALL_GRAPH_EDGES`` the iterative
+    distributed loop's per-job scheduling (~5 jobs x N iterations) costs
+    10-100x the actual work. A driver union-find over the collected edge
+    list — bounded at ~16MB of id pairs — answers in milliseconds with
+    the identical min-label semantics: union-by-min keeps the smallest
+    id as every root, so find() IS the entity_id. Same counted-threshold
+    pattern as the SCM alignment fast path; the distributed loop above
+    the threshold is unchanged and remains the 10^12-edge story.
+    """
+    import pandas as pd
+
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    pdf = pd.DataFrame(
+        {"doc_id": list(parent), "entity_id": [find(x) for x in parent]}
+    )
+    dtype = edges.schema[0].dataType.simpleString()
+    return spark.createDataFrame(pdf, f"doc_id {dtype}, entity_id {dtype}")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id1",
     dst: str = "id2",
     max_iterations: int = 50,
     checkpoint_each: bool = True,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Return ``(doc_id, entity_id)`` with entity_id = min doc_id of the
     component (lexicographic min for string ids — deterministic).
+
+    ``small_graph_edges``: below this counted edge total the labels come
+    from a driver-side union-find (see :func:`_cc_driver`); ``0``
+    disables the fast path. The count action is cheap — match/pair
+    tables arrive materialized from the upstream stage.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if small_graph_edges and e.count() <= small_graph_edges:
+        return _cc_driver(e)
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.distinct()
     if checkpoint_each:
         sym = sym.localCheckpoint()

@@ -45,7 +45,31 @@ def test_connected_components_long_chain_log_convergence(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
     )
-    labels = connected_components(edges, max_iterations=16)
+    # small_graph_edges=0 forces the DISTRIBUTED loop (the default would
+    # take the driver union-find fast path for 199 edges)
+    labels = connected_components(edges, max_iterations=16, small_graph_edges=0)
     rows = labels.collect()
     assert len(rows) == n
     assert {r["entity_id"] for r in rows} == {0}
+
+
+def test_driver_fast_path_equals_distributed(spark):
+    """The counted small-graph union-find must produce the identical
+    (doc_id, entity_id) labeling the distributed loop computes — same
+    min-label semantics, chains/stars/islands and string ids included."""
+    edges = [
+        ("b", "a"), ("c", "b"), ("c", "d"),      # chain with min in middle
+        ("hub", "s1"), ("hub", "s2"), ("s2", "s3"),
+        ("x", "y"),
+    ]
+    df = spark.createDataFrame(edges, "id1 string, id2 string")
+    fast = {(r["doc_id"], r["entity_id"])
+            for r in connected_components(df).collect()}
+    dist = {(r["doc_id"], r["entity_id"])
+            for r in connected_components(df, small_graph_edges=0).collect()}
+    assert fast == dist and fast
+    # long-typed ids keep their type through the fast path
+    dfl = spark.createDataFrame([(2, 1), (3, 2)], "id1 long, id2 long")
+    out = connected_components(dfl)
+    assert dict(out.dtypes) == {"doc_id": "bigint", "entity_id": "bigint"}
+    assert {r["doc_id"]: r["entity_id"] for r in out.collect()} == {1: 1, 2: 1, 3: 1}

@@ -41,13 +41,36 @@ def main() -> None:
     A = synthesize_documents(spark, n, "A", partitions=cpus).localCheckpoint()
     B = synthesize_documents(spark, n, "B", partitions=cpus).localCheckpoint()
 
+    # PPRL_SCALE_BUCKETED=1: persist block stages bucketed by the hashed
+    # block key (sources.tables) and join from the bucketed scans — the
+    # pipeline's zero-exchange path, measured end-to-end INCLUDING the
+    # clustering write it pays up front
+    bucketed = os.environ.get("PPRL_SCALE_BUCKETED") == "1"
     t0 = time.time()
-    blocks_a = explode_blocks(
-        add_block_keys(embed_documents(A, cfg, keep=KEEP), cfg), include_indices=False
-    ).localCheckpoint()
-    blocks_b = explode_blocks(
-        add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg), include_indices=False
-    ).localCheckpoint()
+    if bucketed:
+        import tempfile
+
+        from pprl_spark.sources.tables import write_bucketed_blocks
+
+        base = tempfile.mkdtemp(prefix="pprl_scale_bkt_")
+        sides = {}
+        for tag, docs in (("a", A), ("b", B)):
+            blk = explode_blocks(
+                add_block_keys(embed_documents(docs, cfg, keep=KEEP), cfg),
+                include_indices=False,
+            )
+            table = f"pprl_scale_{tag}"
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            write_bucketed_blocks(blk, table, f"{base}/{tag}", n_buckets=shuffle)
+            sides[tag] = spark.table(table)
+        blocks_a, blocks_b = sides["a"], sides["b"]
+    else:
+        blocks_a = explode_blocks(
+            add_block_keys(embed_documents(A, cfg, keep=KEEP), cfg), include_indices=False
+        ).localCheckpoint()
+        blocks_b = explode_blocks(
+            add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg), include_indices=False
+        ).localCheckpoint()
     cand = generate_candidates(blocks_a, blocks_b, cfg, min_sim=cfg.abs_cutoff)
     n_matches = mutual_best_match(cand).count()
     elapsed = time.time() - t0
