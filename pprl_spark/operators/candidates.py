@@ -180,24 +180,32 @@ def cap_blocks(
     cap = config.max_block_size
     if not cap:
         return blocks
-    # bucketed stage tables carry the hashed key (_bk) instead of the
-    # block_key string — thin on whichever identifies the block
-    key = "block_key" if "block_key" in blocks.columns else "_bk"
+    # Thin on the HASHED key on both input shapes: bucketed stage tables
+    # carry _bk = xxhash64(block_key), so hashing the plain path's string
+    # key first makes the per-doc survivor decision numerically identical
+    # whether the caller feeds raw or bucketed block tables (one doc's
+    # survival = pmod(xxhash64(hashed_key, id), factor) either way —
+    # measured as a 1-match difference at 100k docs before this).
+    if "_bk" in blocks.columns:
+        keyed = blocks.withColumn("_capk", F.col("_bk"))
+    else:
+        keyed = blocks.withColumn("_capk", F.xxhash64("block_key"))
     hot = (
-        blocks.groupBy(key)
+        keyed.groupBy("_capk")
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") > cap)
         .withColumn("_factor", F.ceil(F.col("_n") / F.lit(cap)).cast("long"))
-        .select(key, "_factor")
+        .select("_capk", "_factor")
     )
-    return (
-        blocks.join(F.broadcast(hot), key, "left")
+    out = (
+        keyed.join(F.broadcast(hot), "_capk", "left")
         .where(
             F.col("_factor").isNull()
-            | (F.pmod(F.xxhash64(key, id_col), F.col("_factor")) == 0)
+            | (F.pmod(F.xxhash64("_capk", id_col), F.col("_factor")) == 0)
         )
         .drop("_factor")
     )
+    return out.drop("_capk")
 
 
 def generate_candidates(

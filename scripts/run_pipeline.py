@@ -43,6 +43,9 @@ def main() -> None:
                    help="kept column to blend Jaro-Winkler pair scores on (e.g. surname)")
     p.add_argument("--jw-weight", type=float, default=0.3)
     p.add_argument("--evaluate", action="store_true", help="report pairwise P/R/F1 vs true_id")
+    p.add_argument("--bucket-blocks", type=int, default=None,
+                   help="bucket count for block stage tables (default: auto "
+                        "= parallelism; 0 disables bucketing)")
     args = p.parse_args()
 
     # under spark-submit the session already exists; standalone we build one
@@ -77,6 +80,7 @@ def main() -> None:
         match_rounds=args.match_rounds,
         jw_field=args.jw_field,
         jw_weight=args.jw_weight,
+        bucket_blocks=args.bucket_blocks,
     )
     out = {
         "run_id": args.run_id,
