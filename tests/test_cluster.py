@@ -73,3 +73,21 @@ def test_driver_fast_path_equals_distributed(spark):
     out = connected_components(dfl)
     assert dict(out.dtypes) == {"doc_id": "bigint", "entity_id": "bigint"}
     assert {r["doc_id"]: r["entity_id"] for r in out.collect()} == {1: 1, 2: 1, 3: 1}
+
+
+def test_distributed_contraction_dense_plus_chain(spark):
+    """The two-phase distributed path: a near-clique (dedup shape —
+    collapses in the contraction pre-pass) glued to a long chain (needs
+    the propagation phase) resolves to ONE component labeled by the
+    global min, equal to the driver fast path."""
+    clique = [(i, j) for i in range(20) for j in range(i + 1, 20)]  # 190 edges
+    chain = [(19 + k, 19 + k + 1) for k in range(40)]               # joins at 19
+    df = spark.createDataFrame(clique + chain, "id1 long, id2 long")
+    dist = connected_components(df, max_iterations=16, small_graph_edges=0)
+    rows = dist.collect()
+    assert len(rows) == 60
+    assert {r["entity_id"] for r in rows} == {0}
+    fast = connected_components(df)
+    assert {(r["doc_id"], r["entity_id"]) for r in fast.collect()} == {
+        (r["doc_id"], r["entity_id"]) for r in rows
+    }
