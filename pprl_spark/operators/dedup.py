@@ -83,28 +83,34 @@ def minhash_candidates(
     aggregate, see blocking.minhash_col) -> band keys -> self-join per
     band key with id1 < id2. Returns distinct (id1, id2) with their
     shingle-hash arrays for downstream exact verification.
+
+    Shuffle shape: the band join carries ONLY (doc_id, band_key) — the
+    shingle arrays never ride the ``bands``-way explosion or the band
+    exchange (a doc's array would be duplicated once per band, the
+    dominant shuffle at corpus scale). Arrays are joined back onto the
+    deduped pair table by id afterwards; the base table is checkpointed
+    so the shingle computation runs once, not once per join arm.
     """
     base = (
         df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, k).alias("sh"))
         .where(F.size("sh") > 0)
         .withColumn("_sig", minhash_col(F.col("sh"), bands * rows_per_band))
+        .localCheckpoint()
     )
-    exploded = base.withColumn(
-        "bk", F.explode(_band_keys_from_sig(F.col("_sig"), bands, rows_per_band))
-    ).drop("_sig")
-    left = exploded.select(
-        F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"), "bk"
-    )
-    right = exploded.select(
-        F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"), "bk"
+    exploded = base.select(
+        "doc_id",
+        F.explode(_band_keys_from_sig(F.col("_sig"), bands, rows_per_band)).alias("bk"),
     )
     pairs = (
-        left.join(right, "bk")
+        exploded.select(F.col("doc_id").alias("id1"), "bk")
+        .join(exploded.select(F.col("doc_id").alias("id2"), "bk"), "bk")
         .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "sh1", "sh2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
-    return pairs
+    sh1 = base.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    sh2 = base.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    return pairs.join(sh1, "id1").join(sh2, "id2").select("id1", "id2", "sh1", "sh2")
 
 
 def _jaccard(sh1: Column, sh2: Column) -> Column:
