@@ -234,32 +234,40 @@ def embedding_near_duplicates(
 
     if n_planes is None:
         n_planes = auto_n_planes(vectors.count())
+    # Same shuffle shape as minhash_candidates: the bucket join exchanges
+    # ONLY (id, bucket) — a vector would otherwise ride the
+    # (n_planes+1)-way probe explosion through the join. Vectors are
+    # joined back onto the deduped candidate pairs for the exact-cosine
+    # verify; the base table is checkpointed so the bucket keys compute
+    # once, not once per join arm.
     base = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         lsh_bucket_key(F.col(vec_col), dim, n_planes).alias("b0"),
-    )
+    ).localCheckpoint()
     probes = base.select(
         "vec_id",
-        "v",
         F.explode(
             F.array(F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
         ).alias("bucket"),
     )
-    anchored = base.select("vec_id", "v", F.col("b0").alias("bucket"))
-    pairs = (
-        anchored.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"), "bucket")
-        .join(
-            probes.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"), "bucket"),
-            "bucket",
-        )
+    anchored = base.select("vec_id", F.col("b0").alias("bucket"))
+    cand = (
+        anchored.select(F.col("vec_id").alias("id1"), "bucket")
+        .join(probes.select(F.col("vec_id").alias("id2"), "bucket"), "bucket")
         .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    v1 = base.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    v2 = base.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
         .withColumn("cos", cosine(F.col("v1"), F.col("v2")))
         .where(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
-        .dropDuplicates(["id1", "id2"])
     )
-    return pairs
 
 
 def simhash_near_duplicates(
