@@ -162,16 +162,27 @@ def ngram_jaccard_pairs(
             .where(F.col("jaccard") >= threshold)
             .select("id1", "id2", "jaccard")
         )
+    # join carries (id, blk) only; shingle arrays join back onto the
+    # distinct pairs for the exact-Jaccard verify (same shuffle shape as
+    # minhash_candidates — arrays never ride the block exchange)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         block_expr.alias("blk"),
         shingle_hashes(text_col, k).alias("sh"),
-    ).where(F.size("sh") > 0)
-    left = base.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"), "blk")
-    right = base.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"), "blk")
-    return (
-        left.join(right, "blk")
+    ).where(F.size("sh") > 0).localCheckpoint()
+    keys = base.select("doc_id", "blk")
+    cand = (
+        keys.select(F.col("doc_id").alias("id1"), "blk")
+        .join(keys.select(F.col("doc_id").alias("id2"), "blk"), "blk")
         .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    sh1 = base.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    sh2 = base.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    return (
+        cand.join(sh1, "id1")
+        .join(sh2, "id2")
         .withColumn("jaccard", _jaccard(F.col("sh1"), F.col("sh2")))
         .where(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
