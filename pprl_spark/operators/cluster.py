@@ -60,8 +60,9 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in edges.collect():
-        u, v = r[0], r[1]
+    # Arrow transfer: ~10x faster than Row collect() near the threshold
+    pdf_edges = edges.toPandas()
+    for u, v in zip(pdf_edges.iloc[:, 0], pdf_edges.iloc[:, 1]):
         if u not in parent:
             parent[u] = u
         if v not in parent:
