@@ -1011,6 +1011,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_users").cast("long").alias("n_users"),
         )
 
+    def events_percentiles(spark, sf_dir):
+        # exact per-type percentiles (type-7 interpolation == DuckDB
+        # quantile_cont; approx_percentile is deliberately NOT used — its
+        # t-digest is engine-specific and cannot be value-checked)
+        from pprl_spark.operators.events import event_value_percentiles
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = event_value_percentiles(ev)
+        return out.select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            _floor6(F.col("p50")).alias("p50"),
+            _floor6(F.col("p95")).alias("p95"),
+            _floor6(F.col("p99")).alias("p99"),
+        )
+
+    def events_topk(spark, sf_dir):
+        # top-3 users by event count per type; rank deterministic
+        # (count desc, user_id asc)
+        from pprl_spark.operators.events import top_users_per_type
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = top_users_per_type(ev, k=3)
+        return out.select(
+            "event_type",
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    def dedup_winnow(spark, sf_dir):
+        # winnowing-fingerprint near-dups (Schleimer et al. 2003): the
+        # structural-guarantee complement to MinHash banding — any shared
+        # run of >= k+w-1 words yields a shared fingerprint
+        from pprl_spark.operators.dedup import winnow_near_duplicates
+
+        out = winnow_near_duplicates(
+            _docs(spark, sf_dir), k=2, w=4, threshold=0.4
+        )
+        return out.select(
+            F.col("id1").cast("long"),
+            F.col("id2").cast("long"),
+            _floor6(F.col("overlap")).alias("overlap"),
+        )
+
     return {
         "pprl_tokenize_bigrams": pprl_tokenize_bigrams,
         "pprl_bloom_embed": pprl_bloom_embed,
@@ -1039,6 +1084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann_ivf,
         "multimodal_meta": multimodal_meta,
         "events_windowed": events_windowed,
+        "events_percentiles": events_percentiles,
+        "events_topk": events_topk,
+        "dedup_winnow": dedup_winnow,
         "events_sessionize": events_sessionize,
         "multimodal_decode": multimodal_decode,
         "delta_match_pairs": delta_match_pairs,
@@ -1176,6 +1224,51 @@ canon AS (
 )
 SELECT n.doc_id, c.canonical_id, c.n_copies
 FROM norm n JOIN canon c USING (norm_text)
+"""
+
+    # winnowing oracle: ordered k=2 shingle hashes (NO dedupe), sliding
+    # window of 4 minima, distinct selection, fingerprint-share join,
+    # Jaccard over fingerprint sets — the SQL twin of
+    # functions.text.winnow_fingerprints + operators.dedup.winnow_near_duplicates
+    winnow_sql = rf"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))] END AS sgl
+  FROM w
+),
+h AS (
+  SELECT doc_id,
+         [list_reduce([0::BIGINT] || [ascii(c) FOR c IN string_split(s, '')],
+                      (a, x) -> (a * {TXT.HASH_BASE} + x) % {TXT.HASH_MOD})
+          FOR s IN sgl] AS h
+  FROM shingled
+),
+fp AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                ELSE [list_min(h[j:j+3]) FOR j IN range(1, len(h) - 2)] END
+         )) AS fps
+  FROM h WHERE len(h) > 0
+),
+ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM ex a JOIN ex b USING (f) WHERE a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT id1, id2,
+         len(list_intersect(f1.fps, f2.fps))::DOUBLE
+           / (len(f1.fps) + len(f2.fps) - len(list_intersect(f1.fps, f2.fps))) AS ov
+  FROM cand JOIN fp f1 ON f1.doc_id = id1 JOIN fp f2 ON f2.doc_id = id2
+)
+SELECT id1, id2, floor(ov * 1000000)/1000000.0 AS overlap FROM scored WHERE ov >= 0.4
 """
 
     lang_cases = []
@@ -1544,6 +1637,28 @@ SELECT user_id,
        count(*)::BIGINT AS n_events
 FROM s GROUP BY user_id, sid
 """,
+        "events_percentiles": """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       floor(quantile_cont(value, 0.5) * 1000000)/1000000.0 AS p50,
+       floor(quantile_cont(value, 0.95) * 1000000)/1000000.0 AS p95,
+       floor(quantile_cont(value, 0.99) * 1000000)/1000000.0 AS p99
+FROM events GROUP BY event_type
+""",
+        "events_topk": """
+WITH c AS (
+  SELECT event_type, user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, user_id, n_events,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n_events DESC, user_id ASC)::BIGINT AS rank
+  FROM c
+)
+SELECT event_type, user_id, n_events, rank FROM r WHERE rank <= 3
+""",
+        "dedup_winnow": winnow_sql,
         "events_windowed": """
 SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
        event_type,

@@ -145,3 +145,24 @@ def lang_id(text: Column | str) -> Column:
     ]
     best = F.array_max(F.array(*ranked))
     return F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def winnow_fingerprints(text: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003).
+
+    Ordered k-word shingle hashes -> sliding windows of ``w`` -> the
+    minimum hash per window -> sorted distinct selection. Guarantees at
+    least one selected hash per ``w`` consecutive shingles, so two
+    documents sharing a run of >= k+w-1 words share a fingerprint —
+    robust to insertions/reorderings in a way bag-of-shingles MinHash is
+    not. Pure JVM expressions; SQL twin in the dedup_winnow oracle.
+    """
+    h = F.transform(word_shingles(text, k), lambda s: rolling_hash_col(s))
+    n = F.size(h)
+    mins = F.when(n <= w, F.array(F.array_min(h))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(w)),
+            lambda j: F.array_min(F.slice(h, j + 1, w)),
+        )
+    )
+    return F.array_sort(F.array_distinct(mins))

@@ -319,3 +319,51 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+def winnow_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs: (id1, id2, overlap).
+
+    Candidates = documents sharing at least one selected fingerprint
+    (exploded equi-join carrying only (id, fp) — the same slim shuffle
+    shape as the MinHash band join); verification = Jaccard over the
+    full fingerprint sets. Winnowing guarantees any shared word run of
+    >= k+w-1 words produces a shared fingerprint, so candidate recall
+    for contiguous plagiarism/copy spans is structural, not
+    probabilistic (MinHash's banding is the probabilistic counterpart).
+    """
+    from pprl_spark.functions.text import winnow_fingerprints
+
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            winnow_fingerprints(text_col, k, w).alias("fps"),
+        )
+        .where(F.size("fps") > 0)
+        .localCheckpoint()
+    )
+    ex = base.select("doc_id", F.explode("fps").alias("fp"))
+    cand = (
+        ex.select(F.col("doc_id").alias("id1"), "fp")
+        .join(ex.select(F.col("doc_id").alias("id2"), "fp"), "fp")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    f1 = base.select(F.col("doc_id").alias("id1"), F.col("fps").alias("fps1"))
+    f2 = base.select(F.col("doc_id").alias("id2"), F.col("fps").alias("fps2"))
+    inter = F.size(F.array_intersect("fps1", "fps2")).cast("double")
+    return (
+        cand.join(f1, "id1")
+        .join(f2, "id2")
+        .withColumn("overlap", inter / (F.size("fps1") + F.size("fps2") - inter))
+        .where(F.col("overlap") >= threshold)
+        .select("id1", "id2", "overlap")
+    )

@@ -78,3 +78,48 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.max("t").alias("session_end"),
         F.count("*").alias("n_events"),
     ).drop("sess_id")
+
+
+def event_value_percentiles(
+    events: DataFrame,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Exact per-type value percentiles (type-7 linear interpolation).
+
+    ``F.percentile`` is Spark's EXACT percentile (sort-based aggregate,
+    index = p*(n-1) with linear interpolation) — the same definition as
+    ANSI ``percentile_cont`` / DuckDB ``quantile_cont``, so the result is
+    byte-reproducible by the oracle, unlike ``approx_percentile``
+    (t-digest, engine-specific). Exact percentile shuffles each group's
+    values to one aggregator — right for bounded group counts (event
+    types); at unbounded cardinality switch to approx_percentile and
+    accept a weaker check.
+    """
+    aggs = [
+        F.percentile("value", F.lit(p)).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), *aggs
+    )
+
+
+def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k users by event count per event_type (T1 surface over events).
+
+    Deterministic ranking: count desc, then user_id asc. Partial
+    (map-side) aggregation does the heavy lifting; the ranking window
+    runs over the small (type, user) count table, partitioned by type —
+    never a global sort.
+    """
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("event_type", "user_id", "n_events", "rank")
+    )

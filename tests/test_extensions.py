@@ -631,3 +631,70 @@ def test_decode_media_real_png(spark):
     assert row["container"] == "image/png"
     assert (row["width"], row["height"], row["channels"]) == (w, h, 3)
     assert abs(row["level"] - expect) < 1e-12
+
+
+def test_winnow_near_duplicates(spark):
+    """Winnowing: identical docs overlap 1.0; an insertion-padded copy
+    still shares most fingerprints (the structural guarantee); unrelated
+    text produces no pair."""
+    from pprl_spark.operators.dedup import winnow_near_duplicates
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (3, "yesterday the quick brown fox jumps over the lazy dog near the river bank today"),
+        (4, "completely unrelated text about spark engines and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"]): r["overlap"]
+        for r in winnow_near_duplicates(df, threshold=0.3).collect()
+    }
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert got[(1, 3)] >= 0.5  # insertions at both ends keep the shared run
+    assert all(4 not in pair for pair in got)
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Any shared word run of length >= k+w-1 yields a shared
+    fingerprint (the winnowing window guarantee)."""
+    from pprl_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words >= k+w-1 = 3+4-1
+    rows = [(1, f"xx yy {shared} zz"), (2, f"{shared} aa bb cc dd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", 3, 4).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2]
+
+
+def test_event_percentiles_and_topk(spark):
+    from pprl_spark.operators.events import (
+        event_value_percentiles,
+        top_users_per_type,
+    )
+
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 4, "click" if i % 2 else "view", float(i), "{}")
+        for i in range(100)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    pct = {r["event_type"]: r for r in event_value_percentiles(ev).collect()}
+    # odd values 1..99 -> exact interpolated median = 50.0
+    assert pct["click"]["n_events"] == 50
+    assert pct["click"]["p50"] == pytest.approx(50.0)
+    top = top_users_per_type(ev, k=2).collect()
+    by_type = {}
+    for r in top:
+        by_type.setdefault(r["event_type"], []).append((r["rank"], r["user_id"], r["n_events"]))
+    for t, rs in by_type.items():
+        assert [rk for rk, _, _ in sorted(rs)] == [1, 2]
+        # counts tie at 25 per user here, so rank ties break by user_id asc
+        assert sorted(rs)[0][1] < sorted(rs)[1][1]
