@@ -1047,8 +1047,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # run of >= k+w-1 words yields a shared fingerprint
         from pprl_spark.operators.dedup import winnow_near_duplicates
 
+        # max_df=100 drops stop-fingerprints (templated boilerplate) on
+        # BOTH engines — see operators.dedup.winnow_near_duplicates
         out = winnow_near_duplicates(
-            _docs(spark, sf_dir), k=2, w=4, threshold=0.4
+            _docs(spark, sf_dir), k=2, w=4, threshold=0.4, max_df=100
         )
         return out.select(
             F.col("id1").cast("long"),
@@ -1258,15 +1260,20 @@ fp AS (
   FROM h WHERE len(h) > 0
 ),
 ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+dfreq AS (SELECT f, count(*) AS c FROM ex GROUP BY f),
+exk AS (SELECT doc_id, f FROM ex JOIN dfreq USING (f) WHERE c <= 100),
+fpk AS (
+  SELECT doc_id, list_sort(array_agg(f)) AS fps FROM exk GROUP BY doc_id
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM ex a JOIN ex b USING (f) WHERE a.doc_id < b.doc_id
+  FROM exk a JOIN exk b USING (f) WHERE a.doc_id < b.doc_id
 ),
 scored AS (
   SELECT id1, id2,
          len(list_intersect(f1.fps, f2.fps))::DOUBLE
            / (len(f1.fps) + len(f2.fps) - len(list_intersect(f1.fps, f2.fps))) AS ov
-  FROM cand JOIN fp f1 ON f1.doc_id = id1 JOIN fp f2 ON f2.doc_id = id2
+  FROM cand JOIN fpk f1 ON f1.doc_id = id1 JOIN fpk f2 ON f2.doc_id = id2
 )
 SELECT id1, id2, floor(ov * 1000000)/1000000.0 AS overlap FROM scored WHERE ov >= 0.4
 """

@@ -98,6 +98,7 @@ def main() -> None:
         # measure the write-once/probe-many delta path the feature exists
         # for (median of 3 -> the probe cost dominates the recorded time)
         "delta_match": lambda s: q["delta_match_pairs"](s, SF_DIR).count(),
+        "dedup_winnow": lambda s: q["dedup_winnow"](s, SF_DIR).count(),
     }
 
     # Queries that perform their full computation on EVERY call — no
@@ -112,7 +113,7 @@ def main() -> None:
         "pprl_clusters", "dedup_minhash", "dedup_simhash", "text_stats",
         "ann_topk", "ann_ivf", "scm_scored", "events_windowed",
         "events_sessionize", "jw_pairs", "dedup_clusters",
-        "multimodal_decode", "delta_match",
+        "multimodal_decode", "delta_match", "dedup_winnow",
     }
     REPEAT_UNDER_SECS = 12.0
 

@@ -147,17 +147,32 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best["score"] > 0, best["code"]).otherwise(F.lit("und"))
 
 
-def winnow_fingerprints(text: Column | str, k: int = 3, w: int = 4) -> Column:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003).
+def ordered_shingle_hashes(text: Column | str, k: int = 3) -> Column:
+    """POSITIONAL rolling-hash ints of the k-word shingles (no dedupe).
 
-    Ordered k-word shingle hashes -> sliding windows of ``w`` -> the
-    minimum hash per window -> sorted distinct selection. Guarantees at
+    The winnowing input: order matters (windows slide over positions).
+    MATERIALIZE this as a column (``.select(...alias("_h"))``) before
+    feeding :func:`winnow_select` — same two-step rule as the minhash
+    signature: higher-order functions are interpreted (never codegen'd)
+    and an inlined expression is re-evaluated once per consumer, which
+    here means once per WINDOW position — O(n²·len) per document
+    (measured: sf0.1 winnow went from >240s to ~3s with the column
+    boundary).
+    """
+    return F.transform(word_shingles(text, k), lambda s: rolling_hash_col(s))
+
+
+def winnow_select(h: Column, w: int = 4) -> Column:
+    """Winnowing selection over a MATERIALIZED ordered-hash column.
+
+    Sliding windows of ``w`` -> minimum hash per window -> sorted
+    distinct selection (Schleimer et al., SIGMOD 2003). Guarantees at
     least one selected hash per ``w`` consecutive shingles, so two
     documents sharing a run of >= k+w-1 words share a fingerprint —
     robust to insertions/reorderings in a way bag-of-shingles MinHash is
-    not. Pure JVM expressions; SQL twin in the dedup_winnow oracle.
+    not. ``h`` MUST be a plain column reference (see
+    :func:`ordered_shingle_hashes`).
     """
-    h = F.transform(word_shingles(text, k), lambda s: rolling_hash_col(s))
     n = F.size(h)
     mins = F.when(n <= w, F.array(F.array_min(h))).otherwise(
         F.transform(
@@ -166,3 +181,16 @@ def winnow_fingerprints(text: Column | str, k: int = 3, w: int = 4) -> Column:
         )
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprints(text: Column | str, k: int = 3, w: int = 4) -> Column:
+    """One-expression winnowing fingerprints — SMALL INPUTS ONLY.
+
+    Composes :func:`ordered_shingle_hashes` + :func:`winnow_select` in a
+    single expression: the hash array is inlined into every window
+    slice and re-evaluated per position (interpreted HOF, no common
+    subexpression elimination inside lambdas). Use the two-step
+    column-materialized form for real corpora
+    (``operators.dedup.winnow_near_duplicates`` does).
+    """
+    return winnow_select(ordered_shingle_hashes(text, k), w)

@@ -328,31 +328,65 @@ def winnow_near_duplicates(
     k: int = 3,
     w: int = 4,
     threshold: float = 0.5,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Winnowing-fingerprint near-dup pairs: (id1, id2, overlap).
 
     Candidates = documents sharing at least one selected fingerprint
     (exploded equi-join carrying only (id, fp) — the same slim shuffle
     shape as the MinHash band join); verification = Jaccard over the
-    full fingerprint sets. Winnowing guarantees any shared word run of
-    >= k+w-1 words produces a shared fingerprint, so candidate recall
-    for contiguous plagiarism/copy spans is structural, not
+    per-document fingerprint sets. Winnowing guarantees any shared word
+    run of >= k+w-1 words produces a shared fingerprint, so candidate
+    recall for contiguous plagiarism/copy spans is structural, not
     probabilistic (MinHash's banding is the probabilistic counterpart).
-    """
-    from pprl_spark.functions.text import winnow_fingerprints
 
-    base = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            winnow_fingerprints(text_col, k, w).alias("fps"),
+    ``max_df`` drops STOP-FINGERPRINTS — those appearing in more than
+    ``max_df`` documents — before both candidate generation and the
+    overlap sets (standard MOSS practice, the dedup analog of
+    cap_blocks). Boilerplate shared by thousands of documents otherwise
+    makes the fingerprint join quadratic: on a templated 5k-doc corpus
+    the hub fingerprints alone contributed Σdf² ≈ 20.7M join rows.
+    ``None`` disables the cap.
+    """
+    from pprl_spark.functions.text import ordered_shingle_hashes, winnow_select
+
+    # MATERIALIZE (localCheckpoint) the ordered hash array before the
+    # window selection. A select boundary alone is NOT enough: Catalyst's
+    # CollapseProject re-inlines the `_h` alias through chained
+    # projections (references inside higher-order-function lambdas are
+    # not protected), and the inlined interpreted HOF hash transform
+    # then re-evaluates once per WINDOW position — O(n²·len) per doc,
+    # measured as a >500s hang at sf0.1 vs ~6s materialized. Same
+    # lesson as the r3 bloom-bitmap stall (BENCH/BASELINE.md).
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        ordered_shingle_hashes(text_col, k).alias("_h"),
+    ).localCheckpoint()
+    raw = hashed.select("doc_id", winnow_select(F.col("_h"), w).alias("fps"))
+    ex = raw.select("doc_id", F.explode("fps").alias("fp"))
+    if max_df is not None:
+        # anti-join against the DROP set: hub fingerprints number at most
+        # total_occurrences/max_df (each needs >max_df carriers), so the
+        # broadcast is small by construction — the keep set is nearly
+        # the whole vocabulary and must never be the broadcast side
+        drop = (
+            ex.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("fp")
         )
-        .where(F.size("fps") > 0)
+        ex = ex.join(F.broadcast(drop), "fp", "left_anti")
+    # re-aggregate the (possibly filtered) per-doc fingerprint sets so
+    # the overlap denominator matches the candidate universe exactly
+    base = (
+        ex.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("fp")).alias("fps"))
         .localCheckpoint()
     )
-    ex = base.select("doc_id", F.explode("fps").alias("fp"))
+    exf = base.select("doc_id", F.explode("fps").alias("fp"))
     cand = (
-        ex.select(F.col("doc_id").alias("id1"), "fp")
-        .join(ex.select(F.col("doc_id").alias("id2"), "fp"), "fp")
+        exf.select(F.col("doc_id").alias("id1"), "fp")
+        .join(exf.select(F.col("doc_id").alias("id2"), "fp"), "fp")
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
