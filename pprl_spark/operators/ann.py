@@ -254,6 +254,124 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    base_path: str,
+    n_centroids: int | None = None,
+    kmeans_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: train the quantizer ONCE, write the lists.
+
+    The write-once/probe-many pattern the bucketed corpus tables use for
+    pair joins, applied verbatim to ANN: quantizer training plus the
+    corpus-wide list assignment (the O(n·k) crossJoin + ranking window —
+    the expensive part of :func:`ivf_topk`) happen at write time; every
+    later query batch runs :func:`ivf_probe` against the stored artifact
+    without re-touching the corpus.
+
+    Layout under ``base_path``:
+
+    - ``centroids/``: plain parquet (cent_id, cent_vec) — a small dim
+      table, broadcast at probe time;
+    - ``lists/``: parquet PARTITIONED BY cent_id (vec_id, embedding) —
+      each inverted list is its own partition directory, so a probe's
+      cent_id filter becomes a PartitionFilter and only nprobe of the
+      n_centroids lists are ever READ from storage (~nprobe/√n of the
+      corpus at the auto sizing). On a cluster the same write targets an
+      Iceberg table partitioned by cent_id.
+
+    Same deterministic quantizer options as :func:`ivf_topk`
+    (``kmeans_iters=0`` = lowest-id seed sample, oracle-checkable;
+    ``>0`` = sampled Lloyd refinement).
+    """
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(corpus.count())
+    if kmeans_iters > 0:
+        cent = _lloyd_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    else:
+        cent = (
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            )
+            .orderBy("vec_id")
+            .limit(n_centroids)
+        )
+    cent = cent.select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    ).localCheckpoint()  # train once: the assignment below broadcasts it twice
+    cent.write.mode("overwrite").parquet(f"{base_path}/centroids")
+    lists = ivf_assign(
+        corpus,
+        cent,
+        nprobe=1,
+        id_col=id_col,
+        vec_col=vec_col,
+        cent_id_col="cent_id",
+        cent_vec_col="cent_vec",
+    ).select("cent_id", F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    # repartition by the partition column first: partitionBy writes one
+    # file per (task, value) pair — without it, every task holding rows
+    # of every list writes n_centroids tiny files
+    (
+        lists.repartition("cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{base_path}/lists")
+    )
+
+
+def read_ivf_index(spark, base_path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, lists) from a :func:`write_ivf_index` artifact."""
+    return (
+        spark.read.parquet(f"{base_path}/centroids"),
+        spark.read.parquet(f"{base_path}/lists"),
+    )
+
+
+def ivf_probe(
+    centroids: DataFrame,
+    lists: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k search against a persisted IVF index — corpus never touched.
+
+    Queries are assigned to their ``nprobe`` nearest centroids (broadcast
+    of the small centroid table), then the probed cent_ids are collected
+    (bounded: ≤ nprobe·|queries| values, and |queries| ≪ corpus is the
+    IVF precondition) and pushed as a STATIC filter on the lists scan —
+    on the partitioned layout :func:`write_ivf_index` produces this is a
+    PartitionFilter, so unprobed lists are never read, not merely never
+    joined. Identical results to :func:`ivf_topk` at the same quantizer
+    (equality pinned in tests/test_ann_recall.py).
+    """
+    probes = ivf_assign(
+        queries,
+        centroids,
+        nprobe=nprobe,
+        id_col=query_id_col,
+        vec_col=vec_col,
+        cent_id_col="cent_id",
+        cent_vec_col="cent_vec",
+    ).select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cent_id")
+    probes = probes.localCheckpoint()  # assignment runs once: collect + join
+    probed_ids = [r["cent_id"] for r in probes.select("cent_id").distinct().collect()]
+    pruned = lists.where(F.col("cent_id").isin(probed_ids))
+    scored = pruned.join(F.broadcast(probes), "cent_id").select(
+        "query_id", "vec_id", cosine(F.col("qvec"), F.col("embedding")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -216,6 +216,7 @@ def generate_candidates(
     score: bool = True,
     cap: bool = True,
     min_sim: float | None = None,
+    allow_uncapped: bool = False,
 ) -> DataFrame:
     """Join exploded block tables into scored candidate pairs.
 
@@ -229,6 +230,11 @@ def generate_candidates(
     vast majority under LSH banding) never hit the shuffle. Pass the
     pipeline's abs_cutoff here when downstream masking would drop them
     anyway (P4, `embedder.py:276`).
+
+    ``allow_uncapped=True`` acknowledges a deliberate ``cap=False`` on
+    pre-bucketed inputs (e.g. exact union-equivalence for an oracle) and
+    suppresses the no-skew-protection warning; without it the warning
+    stays, so unwitting callers still hear about the unguarded shape.
     """
     if cap:
         blocks1 = cap_blocks(blocks1, config, id_col)
@@ -309,7 +315,7 @@ def generate_candidates(
     pre_bucketed = "_bk" in blocks1.columns or (
         blocks2 is not None and "_bk" in blocks2.columns
     )
-    if pre_bucketed and not cap:
+    if pre_bucketed and not cap and not allow_uncapped:
         import warnings
 
         warnings.warn(

@@ -32,20 +32,34 @@ log = logging.getLogger(__name__)
 
 
 SMALL_GRAPH_EDGES = 1_000_000
+# string ids cost ~4x a long in the driver union-find (PyObject header +
+# hash + chars vs a cached/small-int-adjacent long), so the counted
+# threshold shrinks accordingly — see the memory budget in _cc_driver
+SMALL_GRAPH_EDGES_STR = 250_000
 
 
 def _cc_driver(edges: DataFrame) -> DataFrame:
     """Counted small-graph fast path: union-find on the driver.
 
     Entity-resolution match graphs are usually tiny relative to the
-    corpus (matches << docs); below ``SMALL_GRAPH_EDGES`` the iterative
+    corpus (matches << docs); below the counted threshold the iterative
     distributed loop's per-job scheduling (~5 jobs x N iterations) costs
     10-100x the actual work. A driver union-find over the collected edge
-    list — bounded at ~16MB of id pairs — answers in milliseconds with
-    the identical min-label semantics: union-by-min keeps the smallest
-    id as every root, so find() IS the entity_id. Same counted-threshold
-    pattern as the SCM alignment fast path; the distributed loop above
-    the threshold is unchanged and remains the 10^12-edge story.
+    list answers in milliseconds with the identical min-label semantics:
+    union-by-min keeps the smallest id as every root, so find() IS the
+    entity_id. Same counted-threshold pattern as the SCM alignment fast
+    path; the distributed loop above the threshold is unchanged and
+    remains the 10^12-edge story.
+
+    Memory budget (the binding cost is the PYTHON DICT, not the Arrow
+    transfer): at the 1M-edge long-id threshold the transfer is ~16MB,
+    but ``parent`` can hold up to 2M entries — ~64B per dict slot plus a
+    ~28-32B int object per distinct id ≈ ~200MB worst-case, which fits
+    the driver process (Python heap is OUTSIDE the 2g JVM heap) but is
+    not free. String ids roughly double the per-entry cost (49B+len
+    object, no small-object cache), hence the 4x lower
+    ``SMALL_GRAPH_EDGES_STR`` threshold picked in
+    :func:`connected_components`.
     """
     import pandas as pd
 
@@ -84,17 +98,29 @@ def connected_components(
     dst: str = "id2",
     max_iterations: int = 50,
     checkpoint_each: bool = True,
-    small_graph_edges: int = SMALL_GRAPH_EDGES,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Return ``(doc_id, entity_id)`` with entity_id = min doc_id of the
     component (lexicographic min for string ids — deterministic).
 
     ``small_graph_edges``: below this counted edge total the labels come
     from a driver-side union-find (see :func:`_cc_driver`); ``0``
-    disables the fast path. The count action is cheap — match/pair
-    tables arrive materialized from the upstream stage.
+    disables the fast path. ``None`` (default) picks by id dtype —
+    ``SMALL_GRAPH_EDGES`` for numeric ids, the 4x lower
+    ``SMALL_GRAPH_EDGES_STR`` for strings, whose driver-dict footprint
+    per entry is ~4x a long's (budget in :func:`_cc_driver`). The count
+    action is cheap — match/pair tables arrive materialized from the
+    upstream stage.
     """
+    from pyspark.sql.types import StringType
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if small_graph_edges is None:
+        small_graph_edges = (
+            SMALL_GRAPH_EDGES_STR
+            if isinstance(e.schema[0].dataType, StringType)
+            else SMALL_GRAPH_EDGES
+        )
     if small_graph_edges and e.count() <= small_graph_edges:
         return _cc_driver(e)
     # ---- distributed path: contraction pre-passes + label propagation ---
@@ -154,6 +180,12 @@ def connected_components(
     E = ckpt(contract(e, reps))
     prev_edges = e.count()
     n_edges = E.count()
+    # Phases 1 and 2 SHARE max_iterations, but contraction cannot starve
+    # propagation: phase 1 only keeps a round of budget if it HALVED the
+    # edge set (the <= prev//2 guard below — first non-halving round
+    # exits to phase 2), so k phase-1 rounds imply the phase-2 remainder
+    # has <= |E|/2^k edges. Spending budget in phase 1 shrinks phase 2's
+    # problem exponentially; total rounds stay O(log |E| + log diameter).
     budget = max_iterations
     while 0 < n_edges <= prev_edges // 2 and budget > 0:
         reps = rep_of(E)

@@ -18,6 +18,28 @@ from pprl_spark.functions.text import shingle_hashes
 from pprl_spark.operators.blocking import minhash_col
 
 
+def _materialize(df: DataFrame, mode: str) -> DataFrame:
+    """Materialization boundary for a base table consumed by several join
+    arms (signatures/shingles must compute once, not once per consumer).
+
+    ``"checkpoint"`` (default): eager ``localCheckpoint`` — fastest in a
+    single-session run, but it DISCARDS lineage and pins non-replicated
+    RDD blocks, so on a real cluster an executor loss permanently kills
+    downstream actions. ``"persist"``: recoverable cache — recompute on
+    block loss, the right mode for long cluster jobs (callers that want
+    reliable storage should instead write the operator's input as a stage
+    table, ``plans.pipeline``). ``"none"``: no boundary — only safe when
+    the caller has already materialized the input.
+    """
+    if mode == "checkpoint":
+        return df.localCheckpoint()
+    if mode == "persist":
+        return df.persist()
+    if mode == "none":
+        return df
+    raise ValueError(f"materialize must be checkpoint|persist|none, got {mode!r}")
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by a 128-bit normalized-text fingerprint.
 
@@ -76,6 +98,7 @@ def minhash_candidates(
     k: int = 3,
     bands: int = 8,
     rows_per_band: int = 2,
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs over k-word shingles.
 
@@ -95,8 +118,8 @@ def minhash_candidates(
         df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, k).alias("sh"))
         .where(F.size("sh") > 0)
         .withColumn("_sig", minhash_col(F.col("sh"), bands * rows_per_band))
-        .localCheckpoint()
     )
+    base = _materialize(base, materialize)
     exploded = base.select(
         "doc_id",
         F.explode(_band_keys_from_sig(F.col("_sig"), bands, rows_per_band)).alias("bk"),
@@ -126,9 +149,10 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
     bands: int = 8,
     rows_per_band: int = 2,
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified: (id1,id2,jaccard)."""
-    cand = minhash_candidates(df, text_col, id_col, k, bands, rows_per_band)
+    cand = minhash_candidates(df, text_col, id_col, k, bands, rows_per_band, materialize)
     return (
         cand.withColumn("jaccard", _jaccard(F.col("sh1"), F.col("sh2")))
         .where(F.col("jaccard") >= threshold)
@@ -145,6 +169,7 @@ def ngram_jaccard_pairs(
     block_expr: Column | None = None,
     bands: int = 8,
     rows_per_band: int = 2,
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs over selective candidate blocks.
 
@@ -156,7 +181,7 @@ def ngram_jaccard_pairs(
     within each block and should only be used on pre-filtered inputs.
     """
     if block_expr is None:
-        cand = minhash_candidates(df, text_col, id_col, k, bands, rows_per_band)
+        cand = minhash_candidates(df, text_col, id_col, k, bands, rows_per_band, materialize)
         return (
             cand.withColumn("jaccard", _jaccard(F.col("sh1"), F.col("sh2")))
             .where(F.col("jaccard") >= threshold)
@@ -169,7 +194,8 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         block_expr.alias("blk"),
         shingle_hashes(text_col, k).alias("sh"),
-    ).where(F.size("sh") > 0).localCheckpoint()
+    ).where(F.size("sh") > 0)
+    base = _materialize(base, materialize)
     keys = base.select("doc_id", "blk")
     cand = (
         keys.select(F.col("doc_id").alias("id1"), "blk")
@@ -230,6 +256,7 @@ def embedding_near_duplicates(
     n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets.
 
@@ -255,7 +282,8 @@ def embedding_near_duplicates(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         lsh_bucket_key(F.col(vec_col), dim, n_planes).alias("b0"),
-    ).localCheckpoint()
+    )
+    base = _materialize(base, materialize)
     probes = base.select(
         "vec_id",
         F.explode(
@@ -329,6 +357,7 @@ def winnow_near_duplicates(
     w: int = 4,
     threshold: float = 0.5,
     max_df: int | None = 100,
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """Winnowing-fingerprint near-dup pairs: (id1, id2, overlap).
 
@@ -358,10 +387,13 @@ def winnow_near_duplicates(
     # then re-evaluates once per WINDOW position — O(n²·len) per doc,
     # measured as a >500s hang at sf0.1 vs ~6s materialized. Same
     # lesson as the r3 bloom-bitmap stall (BENCH/BASELINE.md).
-    hashed = df.select(
-        F.col(id_col).alias("doc_id"),
-        ordered_shingle_hashes(text_col, k).alias("_h"),
-    ).localCheckpoint()
+    hashed = _materialize(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            ordered_shingle_hashes(text_col, k).alias("_h"),
+        ),
+        materialize,
+    )
     raw = hashed.select("doc_id", winnow_select(F.col("_h"), w).alias("fps"))
     ex = raw.select("doc_id", F.explode("fps").alias("fp"))
     if max_df is not None:
@@ -378,10 +410,9 @@ def winnow_near_duplicates(
         ex = ex.join(F.broadcast(drop), "fp", "left_anti")
     # re-aggregate the (possibly filtered) per-doc fingerprint sets so
     # the overlap denominator matches the candidate universe exactly
-    base = (
-        ex.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("fp")).alias("fps"))
-        .localCheckpoint()
+    base = _materialize(
+        ex.groupBy("doc_id").agg(F.array_sort(F.collect_set("fp")).alias("fps")),
+        materialize,
     )
     exf = base.select("doc_id", F.explode("fps").alias("fp"))
     cand = (

@@ -39,6 +39,7 @@ def delta_candidates(
     id_col: str = "doc_id",
     cap: bool = True,
     min_sim: float | None = None,
+    allow_uncapped: bool = False,
 ) -> DataFrame:
     """Scored candidate pairs involving at least one NEW document.
 
@@ -60,13 +61,17 @@ def delta_candidates(
     sizes differ between (corpus, delta) and their union, capping makes
     the decomposition approximate at the thinned blocks only — pass
     ``cap=False`` when exact union-equivalence matters more than skew
-    protection.
+    protection, and ``allow_uncapped=True`` with it to acknowledge the
+    unguarded shape (otherwise the no-skew-protection warning fires on
+    every run, training callers to ignore it).
     """
     cross = generate_candidates(
-        delta_blocks, corpus_blocks, config, id_col=id_col, cap=cap, min_sim=min_sim
+        delta_blocks, corpus_blocks, config, id_col=id_col, cap=cap,
+        min_sim=min_sim, allow_uncapped=allow_uncapped,
     )
     within = generate_candidates(
-        delta_blocks, None, config, id_col=id_col, cap=cap, min_sim=min_sim
+        delta_blocks, None, config, id_col=id_col, cap=cap,
+        min_sim=min_sim, allow_uncapped=allow_uncapped,
     )
     cross_norm = cross.select(
         F.least("id1", "id2").alias("id1"),

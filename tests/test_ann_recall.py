@@ -98,3 +98,34 @@ def test_ivf_lloyd_clamps_centroids_to_sample(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert {r["query_id"] for r in rows} == {0, 1}
+
+
+def test_ivf_persisted_probe_matches_ivf_topk(spark, tmp_path):
+    """The persisted-index probe must return EXACTLY what ivf_topk returns
+    at the same deterministic quantizer, and its lists scan must be
+    partition-pruned to the probed cent_ids (write-once/probe-many)."""
+    from pprl_spark.operators.ann import ivf_probe, read_ivf_index, write_ivf_index
+
+    vecs = _make_vectors(spark, 2_000)
+    queries = vecs.where("vec_id < %d" % N_QUERIES).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    corpus = vecs.where("vec_id >= %d" % N_QUERIES)
+
+    base = str(tmp_path / "ivf_idx")
+    write_ivf_index(corpus, base, n_centroids=16)
+    centroids, lists = read_ivf_index(spark, base)
+
+    probed = ivf_probe(centroids, lists, queries, k=K, nprobe=4)
+    direct = ivf_topk(corpus, queries, k=K, n_centroids=16, nprobe=4)
+
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in probed.collect()}
+    want = {(r["query_id"], r["vec_id"], r["rank"]) for r in direct.collect()}
+    assert got == want
+
+    # partition pruning: the probe's cent_id IN (...) filter must reach
+    # the lists scan as a PartitionFilter, so unprobed list directories
+    # are never read (nprobe * |queries| <= 40 of 16 lists here, but the
+    # contract is structural: the filter is on the partition column)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cent_id" in plan
