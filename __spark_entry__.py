@@ -71,6 +71,20 @@ def _memoized(key: tuple, build) -> DataFrame:
     return df
 
 
+def invalidate_memo(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    """Drop memoized stage frames so the next call genuinely rebuilds them.
+
+    The bench harness calls this between repeat samples of memo-backed
+    queries: without it a repeat would just re-count an already
+    materialized localCheckpoint and record ~0s, making the official
+    medians unfalsifiable. Dropping the reference (plus the caller's
+    gc.collect()) lets ContextCleaner free the checkpoint blocks.
+    """
+    k0 = _skey(spark)
+    for n in names:
+        _MEMO.pop((k0, sf_dir, n), None)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file parquet arrives as 1 input split; spread rows across the
     # cluster before the (CPU-bound) embed UDF so all cores work

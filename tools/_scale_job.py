@@ -72,10 +72,22 @@ def main() -> None:
             add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg), include_indices=False
         ).localCheckpoint()
     cand = generate_candidates(blocks_a, blocks_b, cfg, min_sim=cfg.abs_cutoff)
-    n_matches = mutual_best_match(cand).count()
+    # one action: match count + an order-insensitive content hash (sum of
+    # per-pair xxhash64 as decimal so it cannot overflow), so plain and
+    # bucketed runs can assert IDENTICAL match sets, not just equal counts
+    agg = (
+        mutual_best_match(cand)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("id1", "id2").cast("decimal(38,0)")).alias("h"),
+        )
+        .collect()[0]
+    )
+    n_matches, match_hash = agg["n"], agg["h"]
     elapsed = time.time() - t0
     print(json.dumps({"cpus": cpus, "shuffle_partitions": shuffle,
                       "n_per_source": n, "matches": n_matches,
+                      "match_set_hash": str(match_hash),
                       "elapsed_sec": round(elapsed, 2),
                       "docs_per_sec": round(2 * n / elapsed, 1)}))
     spark.stop()
