@@ -778,6 +778,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("entity_id").cast("long").alias("entity_id"),
         )
 
+    def dedup_canonical(spark, sf_dir):
+        # dedup end-cap: one surviving document per near-dup cluster —
+        # highest quality_score, ties -> min doc_id; unclustered docs
+        # survive as their own singleton. Composes the memoized MinHash
+        # pair table, connected components and the codegen'd quality
+        # expression in one scan + one window.
+        from pprl_spark.operators.cluster import connected_components
+        from pprl_spark.operators.dedup import canonical_documents
+
+        pairs = _minhash_dedup_pairs(spark, sf_dir)
+        cc = connected_components(pairs.select("id1", "id2"))
+        out = canonical_documents(_docs(spark, sf_dir), cc)
+        return out.select(
+            F.col("entity_id").cast("long").alias("entity_id"),
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+            _floor6(F.col("quality")).alias("quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+
+    def sample_stratified(spark, sf_dir):
+        # deterministic content-addressed stratified sampling: membership
+        # is a pure function of (doc_id, salt), independent of
+        # partitioning — unlike df.sample, whose per-partition RNG
+        # changes the kept set under repartition/AQE/resume. Rates:
+        # en 20%, zh 100%, everything else 50%; salt 7. The oracle
+        # recomputes the identical sha256-based hash, so the kept SET
+        # (not just its size) is value-checked.
+        from pprl_spark.operators.sampling import stratified_sample
+
+        docs = _docs(spark, sf_dir)
+        out = stratified_sample(
+            docs,
+            "lang",
+            {"en": 0.2, "zh": 1.0},
+            default_fraction=0.5,
+            salt=7,
+        )
+        return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
     def dedup_exact(spark, sf_dir):
         # 128-bit fingerprint (two independent xxhash64s of the normalized
         # text) as the grouping key: the shuffle carries 16 bytes per doc,
@@ -1157,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "dedup_exact": dedup_exact,
         "dedup_clusters": dedup_clusters,
+        "dedup_canonical": dedup_canonical,
+        "sample_stratified": sample_stratified,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
         "ann_lsh_buckets": ann_lsh_buckets,
@@ -1607,6 +1648,45 @@ SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n
 """
     )
 
+    dedup_canonical_sql = (
+        dedup_clusters_sql.replace(final_sel := "SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n", ", cc AS (" + final_sel + ")")
+        + r"""
+, q AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+qs AS (
+  SELECT doc_id,
+         (0.4 * least(1.0, len(w) / 50.0)
+          + 0.3 * (CASE WHEN len(w) > 0 THEN len(list_distinct(w))::DOUBLE / len(w) ELSE 0.0 END)
+          + 0.3 * least(1.0, (CASE WHEN len(w) > 0
+               THEN list_reduce([0::BIGINT] || [len(x) FOR x IN w], (a, x) -> a + x)::DOUBLE / len(w)
+               ELSE 0.0 END) / 8.0)) AS qv
+  FROM q
+),
+members AS (
+  SELECT coalesce(cc.entity_id, qs.doc_id) AS entity_id, qs.doc_id, qs.qv
+  FROM qs LEFT JOIN cc ON cc.doc_id = qs.doc_id
+)
+SELECT entity_id, doc_id AS canonical_id,
+       floor(qv * 1000000)/1000000.0 AS quality, n_members
+FROM (
+  SELECT entity_id, doc_id, qv,
+         row_number() OVER (PARTITION BY entity_id ORDER BY qv DESC, doc_id ASC) AS r,
+         count(*) OVER (PARTITION BY entity_id)::BIGINT AS n_members
+  FROM members
+) WHERE r = 1
+"""
+    )
+
+    sample_stratified_sql = """
+SELECT doc_id::BIGINT AS doc_id, lang
+FROM documents
+WHERE ('0x' || substring(sha256('7:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 <
+      CASE lang WHEN 'en' THEN 200000 WHEN 'zh' THEN 1000000 ELSE 500000 END
+"""
+
     simhash_bits = []
     for j in range(32):
         simhash_bits.append(
@@ -1678,6 +1758,8 @@ SELECT id1, id2, floor(j * 1000000)/1000000.0 AS jaccard FROM scored WHERE j >= 
         "pprl_clusters": clusters_sql,
         "dedup_exact": dedup_exact_sql,
         "dedup_clusters": dedup_clusters_sql,
+        "dedup_canonical": dedup_canonical_sql,
+        "sample_stratified": sample_stratified_sql,
         "text_stats": text_stats_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh_buckets": ann_lsh_sql,

@@ -121,12 +121,14 @@ def main() -> None:
     # probe-only path after the one-time bucketed write), ivf_index
     # (ann_ivf_probe likewise), minhash_dedup_pairs under dedup_clusters
     # (it measures CC over the pair table dedup_minhash just built).
+    # (the suite's dedup_minhash entry calls the operator directly, so it
+    # has no memo to reset; the memoized minhash pair table is built by
+    # dedup_clusters' first sample and deliberately kept for its repeats)
     N_RUNS = 3
     OWNED_MEMO = {
         "pprl_embed": ["embedded"],
         "pprl_block_score": ["scored_pairs", "blocked"],
         "pprl_match": ["mutual_best"],
-        "dedup_minhash": ["minhash_dedup_pairs"],
     }
 
     import statistics

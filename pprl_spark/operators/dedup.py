@@ -432,3 +432,53 @@ def winnow_near_duplicates(
         .where(F.col("overlap") >= threshold)
         .select("id1", "id2", "overlap")
     )
+
+
+def canonical_documents(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pick ONE representative document per duplicate cluster.
+
+    The end-cap of a dedup pipeline: after near-dup pairs are clustered
+    (``clusters_from_matches`` / ``connected_components`` -> (doc_id,
+    entity_id)), training wants exactly one surviving document per
+    entity — the highest-``quality`` member, ties broken by min doc_id
+    (deterministic). Documents in no cluster are singletons and survive
+    as their own canonical.
+
+    Returns (entity_id, canonical_id, quality, n_members). Shuffle
+    shape: one left join on doc_id (clusters is tiny relative to docs —
+    broadcast when it fits) plus one window partitioned by entity_id;
+    quality is computed in the same scan (codegen'd expression by
+    default — ``functions.text.quality_score``), so the corpus is read
+    once and only (id, entity, quality) rides the window exchange.
+    """
+    from pyspark.sql import Window
+
+    from pprl_spark.functions.text import quality_score
+
+    q = quality if quality is not None else quality_score(text_col)
+    members = (
+        docs.select(F.col(id_col).alias("doc_id"), q.alias("_q"))
+        .join(
+            clusters.select("doc_id", "entity_id"), "doc_id", "left"
+        )
+        .withColumn("entity_id", F.coalesce("entity_id", F.col("doc_id")))
+    )
+    w = Window.partitionBy("entity_id").orderBy(F.desc("_q"), F.asc("doc_id"))
+    wc = Window.partitionBy("entity_id")
+    return (
+        members.withColumn("_r", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .where(F.col("_r") == 1)
+        .select(
+            "entity_id",
+            F.col("doc_id").alias("canonical_id"),
+            F.col("_q").alias("quality"),
+            "n_members",
+        )
+    )

@@ -1,0 +1,75 @@
+"""Deterministic content-addressed sampling for training-data pipelines.
+
+A 100 TB corpus is downsampled per language/quality/source stratum before
+training; the sampler must be (a) a pure map-side filter — no shuffle, no
+driver state, pushdown-friendly — and (b) REPRODUCIBLE independent of
+partitioning: ``df.sample`` seeds its RNG per partition, so the kept set
+changes whenever partitioning does (repartition, AQE coalesce, resume
+from a differently-bucketed stage table). Hashing the row KEY instead
+makes membership a pure function of (key, salt): re-runs, retries and
+resumes keep exactly the same rows, and the per-stratum rate can be
+audited after the fact by recomputing the hash.
+
+The hash is the top 60 bits of sha256(salt || ":" || key) — both engines
+(Spark ``sha2``/``conv``, DuckDB ``sha256``/hex cast) compute the
+identical value, so the driver's oracle verifies the sampled set
+value-exactly. xxhash64 would be cheaper but is Spark-private; sampling
+runs once per corpus pass and the cost is one digest per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000  # rates are resolved to parts-per-million
+
+
+def sample_hash(key: Column, salt: int = 0) -> Column:
+    """Uniform bigint in [0, 2^60) from sha256(salt:key) — the first 15
+    hex digits of the digest (DuckDB twin: ('0x' || substring(...))::BIGINT)."""
+    s = F.concat(F.lit(f"{salt}:"), key.cast("string"))
+    return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("bigint")
+
+
+def _keep(key: Column, salt: int, rate_ppm: Column) -> Column:
+    return F.pmod(sample_hash(key, salt), F.lit(PPM)) < rate_ppm
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, salt: int = 0, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically by key hash."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.where(_keep(F.col(key_col), salt, F.lit(int(round(fraction * PPM)))))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. keep 100% of rare languages,
+    5% of English): rows in stratum s survive iff hash(key) mod 1e6 <
+    rate(s). The rate map compiles to a chained CASE — a pure projection,
+    so the whole operator is one codegen'd filter with NO join and NO
+    shuffle; a rate map too large for a CASE chain (thousands of strata)
+    should instead be joined as a broadcast dim table.
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0,1], got {v}")
+    rate = F.lit(int(round(default_fraction * PPM)))
+    # build the when-chain in sorted order so the plan (and any plan
+    # fingerprint) is stable across dict orderings
+    expr = None
+    for k in sorted(fractions):
+        ppm = F.lit(int(round(fractions[k] * PPM)))
+        cond = F.col(strata_col) == F.lit(k)
+        expr = F.when(cond, ppm) if expr is None else expr.when(cond, ppm)
+    rate_col = rate if expr is None else expr.otherwise(rate)
+    return df.where(_keep(F.col(key_col), salt, rate_col))

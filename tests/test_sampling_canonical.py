@@ -1,0 +1,69 @@
+"""Deterministic sampling + canonical-doc selection (training-data end-caps)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pprl_spark.operators.dedup import canonical_documents
+from pprl_spark.operators.sampling import hash_sample, stratified_sample
+
+
+def test_hash_sample_partition_independent(spark):
+    """The kept set must be a pure function of (key, salt) — identical
+    under any repartitioning (df.sample's per-partition RNG is not)."""
+    base = spark.range(0, 5_000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(base, 0.3, salt=1).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(base.repartition(17, "doc_id"), 0.3, salt=1).collect()
+    }
+    c = {r["doc_id"] for r in hash_sample(base.coalesce(1), 0.3, salt=1).collect()}
+    assert a == b == c
+    # rate lands near the target (sha256 is uniform; 5k draws at p=0.3)
+    assert 0.25 < len(a) / 5_000 < 0.35
+    # a different salt draws a genuinely different set
+    d = {r["doc_id"] for r in hash_sample(base, 0.3, salt=2).collect()}
+    assert a != d
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(0, 3_000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("keep"), F.lit("drop"), F.lit("half")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = stratified_sample(
+        df, "lang", {"keep": 1.0, "drop": 0.0}, default_fraction=0.5, salt=3
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("keep") == 1_000
+    assert "drop" not in counts
+    assert 400 < counts.get("half", 0) < 600
+
+
+def test_canonical_documents_picks_best_quality(spark):
+    docs = spark.createDataFrame(
+        [
+            # cluster {1,2,3}: doc 2 has the richest text -> canonical
+            (1, "aa bb"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "aa aa aa"),
+            # singleton
+            (9, "lone document"),
+            # cluster {10,11}: identical text -> tie -> min doc_id
+            (10, "same words here"),
+            (11, "same words here"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, entity_id long",
+    )
+    out = {r["entity_id"]: r for r in canonical_documents(docs, clusters).collect()}
+    assert out[1]["canonical_id"] == 2 and out[1]["n_members"] == 3
+    assert out[9]["canonical_id"] == 9 and out[9]["n_members"] == 1
+    assert out[10]["canonical_id"] == 10 and out[10]["n_members"] == 2
+    assert set(out) == {1, 9, 10}
