@@ -322,6 +322,41 @@ def write_ivf_index(
     )
 
 
+def append_ivf_index(
+    new_vectors: DataFrame,
+    base_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold newly-landed vectors into a persisted IVF index — the ANN
+    analog of the delta-match pattern: assign the DELTA against the
+    existing (frozen) centroids and append its list rows; the base
+    corpus is never rescanned and the quantizer is never retrained.
+    Probes issued afterwards see base+delta transparently (same
+    partition layout, appended files). Quantizer drift under heavy
+    appends degrades recall, not correctness — rebuild the index
+    (:func:`write_ivf_index`) when the appended volume warrants it,
+    exactly like re-clustering a bucketed corpus table.
+    """
+    spark = new_vectors.sparkSession
+    cent = spark.read.parquet(f"{base_path}/centroids")
+    lists = ivf_assign(
+        new_vectors,
+        cent,
+        nprobe=1,
+        id_col=id_col,
+        vec_col=vec_col,
+        cent_id_col="cent_id",
+        cent_vec_col="cent_vec",
+    ).select("cent_id", F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    (
+        lists.repartition("cent_id")
+        .write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(f"{base_path}/lists")
+    )
+
+
 def read_ivf_index(spark, base_path: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, lists) from a :func:`write_ivf_index` artifact."""
     return (

@@ -236,6 +236,44 @@ def sessionize_stream(
     )
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str = "doc_id long, ts timestamp, text string",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST occurrence of each
+    normalized-text fingerprint across micro-batches.
+
+    The streaming twin of ``operators.dedup.exact_duplicates``' keying:
+    the same two independent xxhash64 fingerprints (salt-FIRST second
+    hash — see exact_duplicates for why salt-last buys zero bits) feed
+    ``dropDuplicatesWithinWatermark``, so re-crawled/re-ingested copies
+    of a document arriving within the watermark are dropped exactly
+    once per key while state stays BOUNDED: a fingerprint's state row is
+    evicted once the watermark passes its last-seen event time, which is
+    the correct contract for crawl dedup (re-crawls cluster in time).
+    Plain ``dropDuplicates`` would keep every fingerprint forever —
+    unbounded state at corpus scale.
+
+    Batch-equivalence (pinned in tests/test_streaming_delta.py): within
+    one watermark window the surviving doc set equals batch
+    first-occurrence dedup over the same input.
+    """
+    norm = F.array_join(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != F.lit("")),
+        " ",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withColumn("fp1", F.xxhash64(norm))
+        .withColumn("fp2", F.xxhash64(F.lit(1), norm))
+        .withWatermark("ts", watermark)
+    )
+    return stream.dropDuplicatesWithinWatermark(["fp1", "fp2"])
+
+
 def start_embed_stream(
     embedded: DataFrame,
     output_dir: str,
