@@ -778,6 +778,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("entity_id").cast("long").alias("entity_id"),
         )
 
+    def text_quality_filters(spark, sf_dir):
+        # Gopher-style per-row quality-filter metrics (repetition ratio,
+        # symbol ratio, max word length, alpha-word ratio) + the keep
+        # decision — all array-expression scan columns, no explode, no
+        # shuffle. keep thresholds chosen to split this corpus
+        # non-trivially (rep spans 0.05-0.3, mwl 5-8); symbol/alpha are
+        # degenerate on the synthetic corpus (0/1) and get their
+        # non-trivial coverage from handcrafted texts in pytest.
+        docs = _docs(spark, sf_dir)
+        rep = TXT.repetition_ratio("text")
+        sym = TXT.symbol_ratio("text")
+        mwl = TXT.max_word_len("text")
+        alpha = TXT.alpha_word_ratio("text")
+        keep = (rep <= 0.12) & (mwl <= 7)
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            _floor6(rep).alias("rep_ratio"),
+            _floor6(sym).alias("sym_ratio"),
+            mwl.alias("max_word_len"),
+            _floor6(alpha).alias("alpha_ratio"),
+            keep.cast("long").alias("keep"),
+        )
+
     def dedup_canonical(spark, sf_dir):
         # dedup end-cap: one surviving document per near-dup cluster —
         # highest quality_score, ties -> min doc_id; unclustered docs
@@ -1198,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "dedup_canonical": dedup_canonical,
         "sample_stratified": sample_stratified,
+        "text_quality_filters": text_quality_filters,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
         "ann_lsh_buckets": ann_lsh_buckets,
@@ -1680,6 +1704,35 @@ FROM (
 """
     )
 
+    text_quality_filters_sql = r"""
+WITH w0 AS (
+  SELECT doc_id::BIGINT AS doc_id, lower(text) AS low,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(w) > 0
+         THEN list_max([len(list_filter(w, x -> x = d)) FOR d IN list_distinct(w)])::DOUBLE / len(w)
+         ELSE 0.0 END AS rep,
+    CASE WHEN len(low) > 0
+         THEN len(regexp_replace(low, '[a-z0-9\s]', '', 'g'))::DOUBLE / len(low)
+         ELSE 0.0 END AS sym,
+    coalesce(list_max([len(x) FOR x IN w]), 0)::BIGINT AS mwl,
+    CASE WHEN len(w) > 0
+         THEN len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(w)
+         ELSE 0.0 END AS alpha
+  FROM w0
+)
+SELECT doc_id,
+       floor(rep * 1000000)/1000000.0 AS rep_ratio,
+       floor(sym * 1000000)/1000000.0 AS sym_ratio,
+       mwl AS max_word_len,
+       floor(alpha * 1000000)/1000000.0 AS alpha_ratio,
+       (CASE WHEN rep <= 0.12 AND mwl <= 7 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM m
+"""
+
     sample_stratified_sql = """
 SELECT doc_id::BIGINT AS doc_id, lang
 FROM documents
@@ -1760,6 +1813,7 @@ SELECT id1, id2, floor(j * 1000000)/1000000.0 AS jaccard FROM scored WHERE j >= 
         "dedup_clusters": dedup_clusters_sql,
         "dedup_canonical": dedup_canonical_sql,
         "sample_stratified": sample_stratified_sql,
+        "text_quality_filters": text_quality_filters_sql,
         "text_stats": text_stats_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh_buckets": ann_lsh_sql,

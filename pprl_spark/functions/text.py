@@ -194,3 +194,55 @@ def winnow_fingerprints(text: Column | str, k: int = 3, w: int = 4) -> Column:
     (``operators.dedup.winnow_near_duplicates`` does).
     """
     return winnow_select(ordered_shingle_hashes(text, k), w)
+
+
+def repetition_ratio(text: Column | str) -> Column:
+    """Most-frequent-word share of all tokens, in [0,1] (0 for empty).
+
+    The Gopher-style repetition signal: boilerplate/spam pages repeat one
+    token heavily. Computed per-row with array expressions (distinct
+    words x count-in-place), no explode/groupBy — a shuffle-free scan
+    column like the other quality metrics.
+    """
+    w = words_col(text)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda d: F.size(F.filter(w, lambda x: x == d)),
+        )
+    )
+    return F.when(
+        F.size(w) > 0, top.cast("double") / F.size(w)
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_ratio(text: Column | str) -> Column:
+    """Fraction of characters outside [a-z0-9 whitespace] after
+    lowercasing (0 for empty text) — markup/emoji/CJK-heavy pages score
+    high against a latin-alphanumeric profile."""
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(c)
+    return F.when(
+        F.length(low) > 0,
+        F.length(F.regexp_replace(low, r"[a-z0-9\s]", "")).cast("double")
+        / F.length(low),
+    ).otherwise(F.lit(0.0))
+
+
+def max_word_len(text: Column | str) -> Column:
+    """Longest whitespace token in characters (0 for empty) — unbroken
+    base64/URL blobs produce extreme values."""
+    w = words_col(text)
+    return F.coalesce(
+        F.array_max(F.transform(w, lambda x: F.length(x))), F.lit(0)
+    ).cast("long")
+
+
+def alpha_word_ratio(text: Column | str) -> Column:
+    """Fraction of tokens containing at least one [a-z] letter (0 for
+    empty) — numeric/tabular dumps score low."""
+    w = words_col(text)
+    return F.when(
+        F.size(w) > 0,
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / F.size(w),
+    ).otherwise(F.lit(0.0))

@@ -67,3 +67,41 @@ def test_canonical_documents_picks_best_quality(spark):
     assert out[9]["canonical_id"] == 9 and out[9]["n_members"] == 1
     assert out[10]["canonical_id"] == 10 and out[10]["n_members"] == 2
     assert set(out) == {1, 9, 10}
+
+
+def test_quality_filter_metrics_edge_cases(spark):
+    from pprl_spark.functions.text import (
+        alpha_word_ratio,
+        max_word_len,
+        repetition_ratio,
+        symbol_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam ham"),        # rep 4/5
+            (2, "a b c d"),                        # rep 1/4, alpha 1.0
+            (3, "### $$$ %%%"),                    # all symbols, alpha 0
+            (4, ""),                               # empty -> zeros
+            (5, "ok httpsveryverylongunbrokentokenxxxxx"),  # mwl big
+            (6, "count 123 456 789"),              # alpha 1/4
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            repetition_ratio("text").alias("rep"),
+            symbol_ratio("text").alias("sym"),
+            max_word_len("text").alias("mwl"),
+            alpha_word_ratio("text").alias("alpha"),
+        ).collect()
+    }
+    assert abs(out[1]["rep"] - 0.8) < 1e-9
+    assert abs(out[2]["rep"] - 0.25) < 1e-9 and out[2]["alpha"] == 1.0
+    # doc 3: every non-space char is a symbol -> sym = 9/11; no alpha words
+    assert abs(out[3]["sym"] - 9 / 11) < 1e-9 and out[3]["alpha"] == 0.0
+    assert out[4]["rep"] == 0.0 and out[4]["sym"] == 0.0 and out[4]["mwl"] == 0
+    assert out[5]["mwl"] == len("httpsveryverylongunbrokentokenxxxxx")
+    assert abs(out[6]["alpha"] - 0.25) < 1e-9
