@@ -214,14 +214,22 @@ class Pipeline:
         extra: dict[str, str] | None = None,
         deps: list[str] | None = None,
         bucket: int | None = None,
+        salt: str = "",
     ) -> DataFrame:
         """``bucket=n``: persist this stage bucketed by the hashed block
         key (zero-exchange downstream joins); recorded in the manifest so
         resume reads restore the bucketed scan, and folded into the
-        checksum so toggling bucketing invalidates the stage."""
+        checksum so toggling bucketing invalidates the stage.
+
+        ``salt``: stage-LOCAL parameters folded into this stage's resume
+        checksum only — parameters that affect one leaf stage (e.g.
+        sampling rates) belong here, not in ``run_params_hash``, so
+        changing them re-runs just that stage instead of the whole DAG."""
         checksum = f"{self.config.checksum}:{self.run_params_hash}"
         if bucket:
             checksum = f"{checksum}:bkt{bucket}"
+        if salt:
+            checksum = f"{checksum}:{salt}"
         man = self.io.manifest(name)
         upstream_fresh = not any(d in self.executed for d in (deps or []))
         if man is not None and man.get("config_hash") == checksum and upstream_fresh:

@@ -105,3 +105,30 @@ def test_quality_filter_metrics_edge_cases(spark):
     assert out[4]["rep"] == 0.0 and out[4]["sym"] == 0.0 and out[4]["mwl"] == 0
     assert out[5]["mwl"] == len("httpsveryverylongunbrokentokenxxxxx")
     assert abs(out[6]["alpha"] - 0.25) < 1e-9
+
+
+def test_dedup_pipeline_resume_and_sample_invalidation(spark, tmp_path):
+    """run_dedup: full execute -> full resume -> rate change re-runs ONLY
+    kept_docs (pairs/clusters/canonical reused from their stage tables)."""
+    from pprl_spark.plans.dedup_pipeline import run_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = str(tmp_path / "dd")
+
+    p1 = run_dedup(spark, docs, base, sample_fractions={"en": 0.5})
+    assert p1.executed == ["dedup_pairs", "dedup_clusters", "canonical", "kept_docs"]
+    k1 = {r["doc_id"] for r in p1.io.read(spark, "kept_docs").collect()}
+
+    p2 = run_dedup(spark, docs, base, sample_fractions={"en": 0.5})
+    assert p2.executed == [] and len(p2.skipped) == 4
+
+    p3 = run_dedup(spark, docs, base, sample_fractions={"en": 0.1})
+    assert p3.executed == ["kept_docs"]
+    assert set(p3.skipped) == {"dedup_pairs", "dedup_clusters", "canonical"}
+
+    # determinism: the kept set is content-addressed, so re-running the
+    # original rates (after p3 overwrote the table) reproduces it exactly
+    p4 = run_dedup(spark, docs, base, sample_fractions={"en": 0.5})
+    assert p4.executed == ["kept_docs"]
+    k4 = {r["doc_id"] for r in p4.io.read(spark, "kept_docs").collect()}
+    assert k1 == k4
