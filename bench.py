@@ -106,6 +106,10 @@ def main() -> None:
         # exact oracle equivalence)
         "delta_match_capped": lambda s: q["delta_match_capped"](s, SF_DIR).count(),
         "dedup_winnow": lambda s: q["dedup_winnow"](s, SF_DIR).count(),
+        # dedup end-cap (canonical survivor per cluster) and the
+        # shuffle-free content-addressed sampler (r5)
+        "dedup_canonical": lambda s: q["dedup_canonical"](s, SF_DIR).count(),
+        "sample_stratified": lambda s: q["sample_stratified"](s, SF_DIR).count(),
     }
 
     # EVERY query records a median of N_RUNS genuine samples: this host's

@@ -132,3 +132,17 @@ def test_dedup_pipeline_resume_and_sample_invalidation(spark, tmp_path):
     assert p4.executed == ["kept_docs"]
     k4 = {r["doc_id"] for r in p4.io.read(spark, "kept_docs").collect()}
     assert k1 == k4
+
+
+def test_stratified_sample_plan_has_no_exchange(spark):
+    """The sampler must stay a pure map-side filter: no Exchange (and no
+    join) anywhere in the executed plan — the property that makes it free
+    at 100 TB."""
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_sample(df, "lang", {"en": 0.2}, default_fraction=0.5, salt=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
