@@ -801,6 +801,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             keep.cast("long").alias("keep"),
         )
 
+    def text_chunks(spark, sf_dir):
+        # overlapping token-window chunking (size 20, stride 10) — the
+        # training/RAG preprocessing step; chunks are built as one array
+        # expression per row and exploded after projection, so chunking
+        # is a scan, not a shuffle
+        docs = _docs(spark, sf_dir)
+        out = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(TXT.chunk_tokens("text", size=20, stride=10)).alias("c"),
+        )
+        return out.select(
+            "doc_id",
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.n_tokens").cast("long").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+
     def dedup_canonical(spark, sf_dir):
         # dedup end-cap: one surviving document per near-dup cluster —
         # highest quality_score, ties -> min doc_id; unclustered docs
@@ -1222,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": dedup_canonical,
         "sample_stratified": sample_stratified,
         "text_quality_filters": text_quality_filters,
+        "text_chunks": text_chunks,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
         "ann_lsh_buckets": ann_lsh_buckets,
@@ -1733,6 +1751,24 @@ SELECT doc_id,
 FROM m
 """
 
+    text_chunks_sql = r"""
+WITH w0 AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         unnest(range(0, CASE WHEN len(w) > 0 THEN 1 + (len(w) - 1) // 10 ELSE 0 END)) AS i
+  FROM w0
+)
+SELECT doc_id,
+       i::BIGINT AS chunk_id,
+       least(20, len(w) - i * 10)::BIGINT AS n_tokens,
+       array_to_string(w[i * 10 + 1 : i * 10 + 20], ' ') AS chunk_text
+FROM c
+"""
+
     sample_stratified_sql = """
 SELECT doc_id::BIGINT AS doc_id, lang
 FROM documents
@@ -1814,6 +1850,7 @@ SELECT id1, id2, floor(j * 1000000)/1000000.0 AS jaccard FROM scored WHERE j >= 
         "dedup_canonical": dedup_canonical_sql,
         "sample_stratified": sample_stratified_sql,
         "text_quality_filters": text_quality_filters_sql,
+        "text_chunks": text_chunks_sql,
         "text_stats": text_stats_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh_buckets": ann_lsh_sql,

@@ -246,3 +246,42 @@ def alpha_word_ratio(text: Column | str) -> Column:
         F.size(w) > 0,
         F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / F.size(w),
     ).otherwise(F.lit(0.0))
+
+
+def chunk_tokens(
+    text: Column | str, size: int = 20, stride: int = 10
+) -> Column:
+    """Overlapping token-window chunks for training/RAG pipelines:
+    array<struct<chunk_id:int, n_tokens:int, chunk_text:string>>.
+
+    Chunk i covers tokens [i*stride, i*stride + size); the last window
+    may be short; documents shorter than one window yield one chunk;
+    empty documents yield none. Pure array expressions (sequence +
+    slice + array_join) — chunking 100 TB is a scan, not a shuffle, and
+    explodes AFTER projection so only (doc_id, chunk) rows ride
+    downstream.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"size/stride must be positive, got {size}/{stride}")
+    w = words_col(text)
+    n = F.size(w)
+    # number of windows starting before the end: 1 + floor((n-1)/stride)
+    # for n>0 — guarantees the final tokens are covered and no window
+    # starts at/after n
+    n_chunks = F.when(n > 0, F.lit(1) + F.floor((n - 1) / F.lit(stride)).cast("int")).otherwise(
+        F.lit(0)
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.when(
+        n > 0,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.least(F.lit(size), n - i * F.lit(stride)).cast("int").alias("n_tokens"),
+                F.array_join(F.slice(w, i * F.lit(stride) + 1, size), " ").alias(
+                    "chunk_text"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk_id:int,n_tokens:int,chunk_text:string>>"))

@@ -146,3 +146,32 @@ def test_stratified_sample_plan_has_no_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_chunk_tokens_edges(spark):
+    from pprl_spark.functions.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(25))),  # 25 toks -> 3 chunks
+            (2, "a b c"),                                # short -> 1 chunk
+            (3, ""),                                     # empty -> none
+            (4, " ".join(f"t{i}" for i in range(20))),  # exact window -> 2
+        ],
+        "doc_id long, text string",
+    )
+    rows = (
+        df.select("doc_id", F.explode(chunk_tokens("text", size=20, stride=10)).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_text")
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [(r["chunk_id"], r["n_tokens"]) for r in by_doc[1]] == [(0, 20), (1, 15), (2, 5)]
+    assert [(r["chunk_id"], r["n_tokens"]) for r in by_doc[2]] == [(0, 3)]
+    assert 3 not in by_doc
+    assert [(r["chunk_id"], r["n_tokens"]) for r in by_doc[4]] == [(0, 20), (1, 10)]
+    # every token of doc 1 is covered by chunk starts
+    assert by_doc[1][0]["chunk_text"].startswith("t0 t1")
+    assert by_doc[1][2]["chunk_text"] == "t20 t21 t22 t23 t24"
