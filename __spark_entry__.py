@@ -801,6 +801,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             keep.cast("long").alias("keep"),
         )
 
+    def spans_roundtrip(spark, sf_dir):
+        # input_hint per-row invariant, oracle-pinned: lifting a flat
+        # record into the spans shape (sources.tables.lift_flat_records)
+        # must preserve span-sequence (kind, text, media_ref, order) —
+        # the offset column IS the order, so the value-exact compare of
+        # (doc_id, offset, kind, text, media_ref) rows checks sequence
+        # equality even though the driver's hash is order-insensitive.
+        from pprl_spark.sources.tables import lift_flat_records
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        lifted = lift_flat_records(docs, "doc_id", ["lang", "source", "n_chars"])
+        out = lifted.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode("spans").alias("s"),
+        )
+        return out.select(
+            "doc_id",
+            F.col("s.offset").cast("long").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+
     def text_chunks(spark, sf_dir):
         # overlapping token-window chunking (size 20, stride 10) — the
         # training/RAG preprocessing step; chunks are built as one array
@@ -1240,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "text_quality_filters": text_quality_filters,
         "text_chunks": text_chunks,
+        "spans_roundtrip": spans_roundtrip,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
         "ann_lsh_buckets": ann_lsh_buckets,
@@ -1769,6 +1793,20 @@ SELECT doc_id,
 FROM c
 """
 
+    spans_roundtrip_sql = """
+SELECT doc_id::BIGINT AS doc_id, 0::BIGINT AS offset, 'text' AS kind,
+       'lang=' || coalesce(lang::VARCHAR, '') AS text, NULL::VARCHAR AS media_ref
+FROM documents
+UNION ALL
+SELECT doc_id::BIGINT, 1::BIGINT, 'text',
+       'source=' || coalesce(source::VARCHAR, ''), NULL::VARCHAR
+FROM documents
+UNION ALL
+SELECT doc_id::BIGINT, 2::BIGINT, 'text',
+       'n_chars=' || coalesce(n_chars::VARCHAR, ''), NULL::VARCHAR
+FROM documents
+"""
+
     sample_stratified_sql = """
 SELECT doc_id::BIGINT AS doc_id, lang
 FROM documents
@@ -1851,6 +1889,7 @@ SELECT id1, id2, floor(j * 1000000)/1000000.0 AS jaccard FROM scored WHERE j >= 
         "sample_stratified": sample_stratified_sql,
         "text_quality_filters": text_quality_filters_sql,
         "text_chunks": text_chunks_sql,
+        "spans_roundtrip": spans_roundtrip_sql,
         "text_stats": text_stats_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh_buckets": ann_lsh_sql,
