@@ -73,3 +73,31 @@ def stratified_sample(
         expr = F.when(cond, ppm) if expr is None else expr.when(cond, ppm)
     rate_col = rate if expr is None else expr.otherwise(rate)
     return df.where(_keep(F.col(key_col), salt, rate_col))
+
+
+def stratified_sample_table(
+    df: DataFrame,
+    rates: DataFrame,
+    strata_col: str,
+    default_fraction: float = 0.0,
+    salt: int = 0,
+    key_col: str = "doc_id",
+    stratum_col: str = "stratum",
+    fraction_col: str = "fraction",
+) -> DataFrame:
+    """:func:`stratified_sample` for rate maps too large for a CASE chain
+    (thousands of strata — e.g. per-domain rates): the rates arrive as a
+    ``(stratum, fraction)`` DataFrame and attach via a broadcast left
+    join, then the identical keep predicate applies. Same determinism
+    contract; the only added cost is one broadcast of the (small) rate
+    table — rows still never shuffle.
+    """
+    r = rates.select(
+        F.col(stratum_col).alias(strata_col),
+        # round like the dict variant's int(round(...)) — a truncating
+        # cast would disagree by 1 ppm on fractions like 0.123456
+        F.round(F.col(fraction_col) * PPM).cast("long").alias("_rate_ppm"),
+    )
+    joined = df.join(F.broadcast(r), strata_col, "left")
+    rate = F.coalesce(F.col("_rate_ppm"), F.lit(int(round(default_fraction * PPM))))
+    return joined.where(_keep(F.col(key_col), salt, rate)).drop("_rate_ppm")

@@ -175,3 +175,56 @@ def test_chunk_tokens_edges(spark):
     # every token of doc 1 is covered by chunk starts
     assert by_doc[1][0]["chunk_text"].startswith("t0 t1")
     assert by_doc[1][2]["chunk_text"] == "t20 t21 t22 t23 t24"
+
+
+def test_stratified_sample_table_matches_dict_variant(spark):
+    """The broadcast-rate-table variant must keep the identical set as
+    the CASE-chain variant (same hash, same rates)."""
+    from pprl_spark.operators.sampling import stratified_sample_table
+
+    df = spark.range(0, 4_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("lang"),
+    )
+    rates = {"s0": 1.0, "s1": 0.25, "s2": 0.0}
+    a = {
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", rates, default_fraction=0.4, salt=9).collect()
+    }
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in rates.items()], "stratum string, fraction double"
+    )
+    b = {
+        r["doc_id"]
+        for r in stratified_sample_table(
+            df, rdf, "lang", default_fraction=0.4, salt=9
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_chunk_tokens_matches_python_reference_all_lengths(spark):
+    """One Spark job checks every doc length 0..60 against a Python
+    reference of the window formula (coverage + sizes + texts)."""
+    from pprl_spark.functions.text import chunk_tokens
+
+    size, stride = 7, 3
+    docs = [(n, " ".join(f"w{i}" for i in range(n))) for n in range(0, 61)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict = {}
+    for r in (
+        df.select("doc_id", F.explode(chunk_tokens("text", size=size, stride=stride)).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_text")
+        .collect()
+    ):
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["n_tokens"], r["chunk_text"]))
+
+    for n, _ in docs:
+        w = [f"w{i}" for i in range(n)]
+        want = []
+        if n > 0:
+            n_chunks = 1 + (n - 1) // stride
+            for i in range(n_chunks):
+                toks = w[i * stride : i * stride + size]
+                want.append((i, len(toks), " ".join(toks)))
+        assert got.get(n, []) == want, f"n={n}"
