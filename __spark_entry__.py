@@ -913,6 +913,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             TXT.lang_id("text").alias("lang_pred"),
         )
 
+    def vocab_topk(spark, sf_dir):
+        # corpus heavy hitters: map-side-combined word count, then
+        # TakeOrderedAndProject (per-partition k-row heap, no global
+        # sort) under a (cnt desc, word asc) total order so the rank-100
+        # cut is partitioning-independent
+        from pprl_spark.operators.corpus import vocab_topk as _vtk
+
+        return _vtk(_docs(spark, sf_dir), "text", k=100).select(
+            "word", F.col("cnt").cast("long").alias("cnt")
+        )
+
+    def text_decontaminate(spark, sf_dir):
+        # test-set decontamination: docs sharing a token 3-gram with the
+        # deterministic "benchmark" slice (doc_id % 97 == 0) are flagged
+        # with their distinct-shared-gram count. The benchmark gram table
+        # is broadcast; grams travel as SQL-reproducible rolling hashes
+        # (8 bytes), so the oracle joins on identical keys and the corpus
+        # side never shuffles text. Empty docs are excluded on both
+        # engines (the k<n whole-text shingle of "" has no gram content).
+        from pprl_spark.operators.corpus import decontaminate
+
+        docs = _docs(spark, sf_dir).where(F.size(TXT.words_col("text")) > 0)
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        corpus = docs.where(F.col("doc_id") % 97 != 0)
+        out = decontaminate(corpus, bench, n=3)
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+        )
+
+    def text_blocklist(spark, sf_dir):
+        # C4-style dictionary filter: per-row hit count against a literal
+        # blocklist + scrubbed (normalized) text + the keep decision —
+        # all codegen'd array expressions, zero shuffle, zero join
+        bl = ["slow", "error", "null"]
+        docs = _docs(spark, sf_dir)
+        hits = TXT.blocklist_hits("text", bl)
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            hits.cast("long").alias("n_hits"),
+            TXT.scrub_blocklist("text", bl, "[X]").alias("scrubbed"),
+            (hits == 0).cast("long").alias("keep"),
+        )
+
+    def text_tfidf(spark, sf_dir):
+        # per-doc top-3 terms by log-free TF-IDF: TF per-row (array
+        # expressions, no (doc,word) shuffle), DF map-side-combined,
+        # IDF broadcast back, one slim window for top-n. The log-free
+        # (N+1)/(df+1) IDF keeps every step exactly rounded so the
+        # (score desc, word) tie-break is bit-stable across engines.
+        from pprl_spark.operators.corpus import tfidf_top_terms
+
+        out = tfidf_top_terms(_docs(spark, sf_dir), n_top=3)
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "word",
+            _floor6(F.col("score")).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
     def ann_topk(spark, sf_dir):
         emb = _embeddings(spark, sf_dir)
         queries_df = emb.where(F.col("vec_id") < 10).select(
@@ -1263,6 +1323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "text_quality_filters": text_quality_filters,
         "text_chunks": text_chunks,
+        "vocab_topk": vocab_topk,
+        "text_decontaminate": text_decontaminate,
+        "text_blocklist": text_blocklist,
+        "text_tfidf": text_tfidf,
         "spans_roundtrip": spans_roundtrip,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
@@ -1863,7 +1927,94 @@ SELECT id1, id2, floor(j * 1000000)/1000000.0 AS jaccard FROM scored WHERE j >= 
 """
     )
 
+    vocab_topk_sql = r"""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+c AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY word)
+SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 100
+"""
+
+    # decontamination oracle: identical rolling-hash 3-gram keys as the
+    # Spark side (so hash-collision behavior is shared, not approximated),
+    # gram size 3 — dense enough overlap on this corpus to be non-trivial,
+    # benchmark slice doc_id % 97 = 0, distinct-shared-gram counts
+    text_decontaminate_sql = rf"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sgl AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)] END AS sgl
+  FROM w WHERE len(w) > 0
+),
+h AS (
+  SELECT doc_id,
+         list_distinct([list_reduce([0::BIGINT] || [ascii(c) FOR c IN string_split(s, '')],
+                      (a, x) -> (a * {TXT.HASH_BASE} + x) % {TXT.HASH_MOD}) FOR s IN sgl]) AS hs
+  FROM sgl
+),
+bg AS (SELECT DISTINCT unnest(hs) AS gram FROM h WHERE doc_id % 97 = 0),
+cg AS (SELECT doc_id, unnest(hs) AS gram FROM h WHERE doc_id % 97 <> 0)
+SELECT doc_id, count(*)::BIGINT AS n_shared
+FROM cg JOIN bg USING (gram)
+GROUP BY doc_id
+"""
+
+    text_blocklist_sql = r"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(w, x -> list_contains(['slow','error','null'], x)))::BIGINT AS n_hits,
+       array_to_string(list_transform(w,
+         x -> CASE WHEN list_contains(['slow','error','null'], x) THEN '[X]' ELSE x END),
+         ' ') AS scrubbed,
+       (len(list_filter(w, x -> list_contains(['slow','error','null'], x))) = 0)::BIGINT AS keep
+FROM w
+"""
+
+    # same association order as the Spark column — (tf/n) * ((N+1)/(df+1))
+    # — so every double is bit-identical and the floor6/tie-break agree
+    text_tfidf_sql = r"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+ex AS (SELECT doc_id, len(w)::BIGINT AS n_tokens, unnest(w) AS word FROM w),
+tf AS (
+  SELECT doc_id, n_tokens, word, count(*)::BIGINT AS tf
+  FROM ex GROUP BY doc_id, n_tokens, word
+),
+dfq AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT doc_id, tf.word AS word,
+         (tf::DOUBLE / n_tokens::DOUBLE) * ((n.n + 1.0) / (df::DOUBLE + 1.0)) AS score
+  FROM tf JOIN dfq ON tf.word = dfq.word CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, word, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+  FROM scored
+)
+SELECT doc_id, word, floor(score * 1000000)/1000000.0 AS score, rank::BIGINT AS rank
+FROM r WHERE rank <= 3
+"""
+
     return {
+        "vocab_topk": vocab_topk_sql,
+        "text_decontaminate": text_decontaminate_sql,
+        "text_blocklist": text_blocklist_sql,
+        "text_tfidf": text_tfidf_sql,
         "dedup_embedding": dedup_embedding_sql,
         "dedup_ngram_jaccard": dedup_ngram_sql,
         "pprl_skipgrams": skipgrams_sql,

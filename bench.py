@@ -110,6 +110,12 @@ def main() -> None:
         # shuffle-free content-addressed sampler (r5)
         "dedup_canonical": lambda s: q["dedup_canonical"](s, SF_DIR).count(),
         "sample_stratified": lambda s: q["sample_stratified"](s, SF_DIR).count(),
+        # corpus-statistics / hygiene passes (r5): heavy hitters,
+        # benchmark-overlap decontamination, dictionary scrub, TF-IDF
+        "vocab_topk": lambda s: q["vocab_topk"](s, SF_DIR).count(),
+        "text_decontaminate": lambda s: q["text_decontaminate"](s, SF_DIR).count(),
+        "text_blocklist": lambda s: q["text_blocklist"](s, SF_DIR).count(),
+        "text_tfidf": lambda s: q["text_tfidf"](s, SF_DIR).count(),
     }
 
     # EVERY query records a median of N_RUNS genuine samples: this host's

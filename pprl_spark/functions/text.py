@@ -285,3 +285,35 @@ def chunk_tokens(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<chunk_id:int,n_tokens:int,chunk_text:string>>"))
+
+
+def blocklist_hits(text: Column | str, blocklist: list[str]) -> Column:
+    """Count of tokens (with multiplicity) appearing in ``blocklist``.
+
+    The C4/RefinedWeb-style dictionary filter signal: documents whose
+    token stream hits a curated blocklist are dropped (or scrubbed, see
+    :func:`scrub_blocklist`). The blocklist is a literal array baked into
+    the plan — a per-row array expression, codegen'd, no join, no
+    shuffle; suitable for lists up to a few thousand terms (beyond that,
+    broadcast-join a blocklist table instead).
+    """
+    w = words_col(text)
+    bl = F.array(*[F.lit(t) for t in blocklist])
+    return F.size(F.filter(w, lambda x: F.array_contains(bl, x)))
+
+
+def scrub_blocklist(
+    text: Column | str, blocklist: list[str], repl: str = "[REDACTED]"
+) -> Column:
+    """Replace blocklisted tokens with ``repl``; returns NORMALIZED text
+    (lowercased, single-space-joined) — the same canonical form the dedup
+    operators key on. Same scan-only shape as :func:`blocklist_hits`.
+    """
+    w = words_col(text)
+    bl = F.array(*[F.lit(t) for t in blocklist])
+    return F.array_join(
+        F.transform(
+            w, lambda x: F.when(F.array_contains(bl, x), F.lit(repl)).otherwise(x)
+        ),
+        " ",
+    )

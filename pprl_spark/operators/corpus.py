@@ -1,0 +1,182 @@
+"""Corpus-level statistics and hygiene operators for training-data pipelines.
+
+Three operators a 100 TB pre-training pipeline runs once per corpus pass:
+
+- :func:`vocab_topk` — global heavy hitters (top-k tokens by frequency).
+  The shuffle carries one (word, partial_count) row per distinct word per
+  map partition (map-side combine), never raw tokens; the final top-k is
+  ``TakeOrderedAndProject`` (per-partition heap + driver merge of k rows),
+  not a global sort.
+- :func:`decontaminate` — benchmark n-gram overlap detection, the
+  "test-set decontamination" pass every published LLM corpus runs (see
+  e.g. GPT-3 appendix C / PaLM §C): flag corpus documents that share a
+  token n-gram with a (small) held-out benchmark set. The benchmark gram
+  table is broadcast — it is by construction orders of magnitude smaller
+  than the corpus — so the corpus side is a scan + broadcast semi-join:
+  zero corpus-sized shuffles.
+- :func:`tfidf_top_terms` — per-document top-n terms by TF-IDF against
+  corpus document frequencies. Two aggregations over slim rows: the DF
+  table (distinct (doc, word) -> groupBy word, map-side combined) and a
+  final per-doc top-n. The IDF variant is log-free —
+  ``(N+1)/(df+1)`` — so every arithmetic step is an exactly-rounded
+  IEEE-754 operation and the scores are bit-identical across engines
+  (``ln`` is libm-dependent and would make oracle tie-breaks flaky).
+
+Reference parity: the reference toolkit (datasciencecampus/pprl_toolkit)
+has no corpus-statistics stage; these extend the engine for the
+training-data brief, mirroring the feature-extraction conventions of
+``functions/text.py`` (whitespace tokenization, rolling-hash grams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pprl_spark.functions.text import rolling_hash_col, word_shingles, words_col
+
+
+def vocab_topk(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Top-``k`` corpus tokens by frequency -> (word, cnt).
+
+    Deterministic total order (cnt desc, word asc) so the cut at rank k
+    never depends on partitioning. ``orderBy(...).limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — each partition keeps a k-row heap and the
+    driver merges k rows per partition; no single-partition global sort.
+    The only shuffle is the word-count groupBy, map-side combined, so it
+    carries at most |vocab| rows per map partition regardless of corpus
+    size.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    counts = (
+        docs.select(F.explode(words_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
+
+
+def benchmark_grams(bench: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Distinct rolling-hash token ``n``-grams of a benchmark set -> (gram).
+
+    One row per distinct gram hash. The hash is the SQL-reproducible
+    rolling hash (``functions.text.rolling_hash_col``), so the oracle can
+    recompute identical join keys; at 100 TB the join carries 8-byte
+    hashes, never gram strings.
+    """
+    return (
+        bench.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_shingles(text_col, n), lambda s: rolling_hash_col(s)
+                    )
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Flag corpus docs sharing a token n-gram with a benchmark set.
+
+    Returns (doc_id, n_shared) — the count of DISTINCT benchmark grams
+    each contaminated document contains; clean documents are absent (the
+    caller anti-joins to drop, or left-joins to annotate).
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (eval suites are
+    thousands of documents; the corpus is 10^12), so it is broadcast and
+    the corpus side never shuffles raw text — the per-doc gram explode
+    feeds a broadcast hash join and the only exchange is the final
+    groupBy(doc_id) over the (rare) contaminated rows. Set
+    ``broadcast_benchmark=False`` to fall back to a shuffle join when the
+    benchmark genuinely exceeds executor memory.
+    """
+    grams = benchmark_grams(bench, text_col, n)
+    if broadcast_benchmark:
+        grams = F.broadcast(grams)
+    doc_grams = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles(text_col, n), lambda s: rolling_hash_col(s))
+            )
+        ).alias("gram"),
+    )
+    hits = doc_grams.join(grams, "gram")
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_shared"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_top: int = 3,
+    broadcast_idf: bool = True,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document top-``n_top`` terms by TF-IDF -> (doc_id, word, score, rank).
+
+    score = (count(word in doc) / n_tokens(doc)) * (N + 1) / (df(word) + 1)
+
+    — the log-free IDF variant: every step (integer-valued doubles,
+    one divide, one multiply) is exactly rounded, so Spark and any SQL
+    engine produce bit-identical doubles and the (score desc, word asc)
+    tie-break is stable across engines. Ranks are dense per doc; ``rank
+    <= n_top`` rows are returned.
+
+    Scale shape: term counts are computed per-row with array expressions
+    (no corpus-wide (doc, word) shuffle for TF); the DF table is a
+    map-side-combined groupBy over distinct (doc, word) hashes; IDF is
+    broadcast back (vocabulary ≪ corpus; ``broadcast_idf=False`` falls
+    back to a shuffle join for unbounded vocabularies); the final top-n
+    is one window over slim (doc_id, word, score) rows.
+    """
+    if n_top <= 0:
+        raise ValueError(f"n_top must be positive, got {n_top}")
+    if n_docs is None:
+        # pass n_docs explicitly to keep construction lazy; at 100 TB read
+        # it from table statistics/manifest metadata instead of a scan
+        n_docs = docs.count()
+    w = words_col(text_col)
+    # per-row distinct terms with in-place counts: O(distinct * tokens)
+    # per document (documents are bounded), zero shuffle for TF
+    per_doc = docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.explode(
+            F.transform(
+                F.array_distinct(w),
+                lambda d: F.struct(
+                    d.alias("word"),
+                    F.size(F.filter(w, lambda x: x == d)).alias("tf"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "n_tokens", F.col("t.word").alias("word"), F.col("t.tf").alias("tf"))
+    df_table = per_doc.groupBy("word").agg(F.count("*").alias("df"))
+    if broadcast_idf:
+        df_table = F.broadcast(df_table)
+    scored = per_doc.join(df_table, "word").select(
+        "doc_id",
+        "word",
+        (
+            (F.col("tf").cast("double") / F.col("n_tokens").cast("double"))
+            * (F.lit(float(n_docs + 1)) / (F.col("df").cast("double") + F.lit(1.0)))
+        ).alias("score"),
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= n_top)
+    )

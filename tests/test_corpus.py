@@ -1,0 +1,112 @@
+"""Corpus-level operators: vocab top-k, decontamination, TF-IDF, blocklist."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pprl_spark.functions.text import blocklist_hits, scrub_blocklist
+from pprl_spark.operators.corpus import (
+    benchmark_grams,
+    decontaminate,
+    tfidf_top_terms,
+    vocab_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c a b a"),
+        (2, "a b c d e f"),
+        (3, "x y z x y x"),
+        (4, "a b c d e f g h"),  # shares the 'a b c d e f' run with 2
+        (5, ""),  # empty doc: no tokens, no grams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_vocab_topk_order_and_ties(spark, docs):
+    got = vocab_topk(docs, k=4).collect()
+    # counts: a=5, b=4, c=3, x=3, y=2, d=2, e=2, f=2, ...
+    # tie at cnt=3 resolves alphabetically: c before x
+    assert [(r["word"], r["cnt"]) for r in got] == [
+        ("a", 5), ("b", 4), ("c", 3), ("x", 3)
+    ]
+
+
+def test_vocab_topk_partitioning_independent(spark, docs):
+    one = vocab_topk(docs.repartition(1), k=5).collect()
+    many = vocab_topk(docs.repartition(7), k=5).collect()
+    assert [(r["word"], r["cnt"]) for r in one] == [(r["word"], r["cnt"]) for r in many]
+
+
+def test_vocab_topk_rejects_bad_k(docs):
+    with pytest.raises(ValueError):
+        vocab_topk(docs, k=0)
+
+
+def test_benchmark_grams_distinct(spark, docs):
+    bench = docs.where(F.col("doc_id") == 1)  # "a b c a b a": 4 3-grams, all distinct
+    assert benchmark_grams(bench, n=3).count() == 4
+
+
+def test_decontaminate_flags_shared_ngrams(spark, docs):
+    bench = docs.where(F.col("doc_id") == 2)  # grams of "a b c d e f"
+    corpus = docs.where(F.col("doc_id") != 2)
+    got = {(r["doc_id"], r["n_shared"]) for r in decontaminate(corpus, bench, n=3).collect()}
+    # doc 1 shares "a b c"; doc 4 shares all four of doc 2's 3-grams;
+    # docs 3 and 5 share nothing and are absent
+    assert got == {(1, 1), (4, 4)}
+
+
+def test_decontaminate_no_broadcast_same_result(spark, docs):
+    bench = docs.where(F.col("doc_id") == 2)
+    corpus = docs.where(F.col("doc_id") != 2)
+    a = set(map(tuple, decontaminate(corpus, bench, n=3).collect()))
+    b = set(map(tuple, decontaminate(corpus, bench, n=3, broadcast_benchmark=False).collect()))
+    assert a == b
+
+
+def test_tfidf_top_terms_scores(spark, docs):
+    out = tfidf_top_terms(docs, n_top=2)
+    rows = {(r["doc_id"], r["rank"]): (r["word"], r["score"]) for r in out.collect()}
+    # doc 3: x appears 3/6 times, df(x)=1 -> idf (4+1)/(1+1)=2.5 -> 1.25;
+    # y 2/6, idf 2.5 -> ~0.8333 (n_docs counts the empty doc too: N=5? no —
+    # N = docs.count() = 5, idf = 6/2 = 3.0)
+    w, s = rows[(3, 1)]
+    assert w == "x" and abs(s - (3 / 6) * (6 / 2)) < 1e-9
+    w, s = rows[(3, 2)]
+    assert w == "y" and abs(s - (2 / 6) * (6 / 2)) < 1e-9
+    # empty doc contributes no rows
+    assert not any(d == 5 for d, _ in rows)
+    # ranks are 1..n_top at most
+    assert all(r in (1, 2) for _, r in rows)
+
+
+def test_tfidf_tie_breaks_alphabetical(spark):
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "c d")], "doc_id long, text string"
+    )
+    out = tfidf_top_terms(df, n_top=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["word"]))
+    # equal tf and df for both words of each doc -> identical scores ->
+    # alphabetical order decides rank
+    assert sorted(by_doc[1]) == [(1, "a"), (2, "b")]
+    assert sorted(by_doc[2]) == [(1, "c"), (2, "d")]
+
+
+def test_blocklist_hits_and_scrub(spark):
+    df = spark.createDataFrame(
+        [(1, "Slow query SLOW scan"), (2, "fast scan"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        blocklist_hits("text", ["slow", "error"]).alias("h"),
+        scrub_blocklist("text", ["slow", "error"], "[X]").alias("s"),
+    ).collect()
+    got = {r["doc_id"]: (r["h"], r["s"]) for r in out}
+    assert got[1] == (2, "[X] query [X] scan")  # case-normalized matching
+    assert got[2] == (0, "fast scan")
+    assert got[3] == (0, "")
