@@ -778,6 +778,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("entity_id").cast("long").alias("entity_id"),
         )
 
+    def delta_clusters(spark, sf_dir):
+        # incremental cluster maintenance: docs with doc_id % 5 == 0 play
+        # the arrival batch — the standing assignment is CC over pairs
+        # among the rest, then operators.cluster.incremental_cc folds the
+        # delta-touching pairs in by contracting them through the
+        # assignment (CC runs only on the touched-cluster graph, never
+        # the corpus). The oracle is the FULL-graph recompute
+        # (dedup_clusters_sql verbatim), so the value-exact compare IS
+        # the proof that incremental maintenance equals re-clustering.
+        from pprl_spark.operators.cluster import connected_components, incremental_cc
+
+        pairs = _minhash_dedup_pairs(spark, sf_dir).select("id1", "id2")
+        in_delta1 = F.col("id1") % 5 == 0
+        in_delta2 = F.col("id2") % 5 == 0
+        base = pairs.where(~in_delta1 & ~in_delta2)
+        delta = pairs.where(in_delta1 | in_delta2)
+        assignment = connected_components(base)
+        out = incremental_cc(assignment, delta)
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("entity_id").cast("long").alias("entity_id"),
+        )
+
+    def dedup_cluster_sizes(spark, sf_dir):
+        # entity-resolution observability: the cluster-size histogram
+        # (how many entities of each size) — the first thing an operator
+        # checks for blocking-key blowups or over-merging. Two map-side
+        # combined aggs over (doc_id, entity_id); at 10^12 docs the
+        # second agg's key space is ~log-scale distinct sizes.
+        from pprl_spark.operators.cluster import connected_components
+
+        pairs = _minhash_dedup_pairs(spark, sf_dir)
+        cc = connected_components(pairs.select("id1", "id2"))
+        return (
+            cc.groupBy("entity_id")
+            .agg(F.count("*").alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"))
+            .select(
+                F.col("cluster_size").cast("long").alias("cluster_size"),
+                F.col("n_clusters").cast("long").alias("n_clusters"),
+            )
+        )
+
     def text_quality_filters(spark, sf_dir):
         # Gopher-style per-row quality-filter metrics (repetition ratio,
         # symbol ratio, max word length, alpha-word ratio) + the keep
@@ -1319,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "dedup_exact": dedup_exact,
         "dedup_clusters": dedup_clusters,
+        "delta_clusters": delta_clusters,
+        "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_canonical": dedup_canonical,
         "sample_stratified": sample_stratified,
         "text_quality_filters": text_quality_filters,
@@ -2036,6 +2082,22 @@ FROM r WHERE rank <= 3
         "pprl_clusters": clusters_sql,
         "dedup_exact": dedup_exact_sql,
         "dedup_clusters": dedup_clusters_sql,
+        # the incremental-maintenance query must equal the full-graph
+        # recompute — the SAME oracle pins that equivalence
+        "delta_clusters": dedup_clusters_sql,
+        # wrap the full-recompute clusters query: splice its final SELECT
+        # into one more CTE, then histogram entity sizes
+        "dedup_cluster_sizes": (
+            dedup_clusters_sql.replace(
+                "SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n",
+                ", cc AS (SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id"
+                " FROM walk GROUP BY n) "
+                "SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM ("
+                "SELECT entity_id, count(*)::BIGINT AS cluster_size FROM cc"
+                " GROUP BY entity_id) GROUP BY cluster_size",
+                1,
+            )
+        ),
         "dedup_canonical": dedup_canonical_sql,
         "sample_stratified": sample_stratified_sql,
         "text_quality_filters": text_quality_filters_sql,

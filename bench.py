@@ -112,6 +112,10 @@ def main() -> None:
         "sample_stratified": lambda s: q["sample_stratified"](s, SF_DIR).count(),
         # corpus-statistics / hygiene passes (r5): heavy hitters,
         # benchmark-overlap decontamination, dictionary scrub, TF-IDF
+        # incremental cluster maintenance + cluster-size histogram (r5);
+        # both reuse the memoized minhash pair table (like dedup_clusters)
+        "delta_clusters": lambda s: q["delta_clusters"](s, SF_DIR).count(),
+        "dedup_cluster_sizes": lambda s: q["dedup_cluster_sizes"](s, SF_DIR).count(),
         "vocab_topk": lambda s: q["vocab_topk"](s, SF_DIR).count(),
         "text_decontaminate": lambda s: q["text_decontaminate"](s, SF_DIR).count(),
         "text_blocklist": lambda s: q["text_blocklist"](s, SF_DIR).count(),

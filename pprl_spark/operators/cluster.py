@@ -260,3 +260,58 @@ def connected_components(
 def clusters_from_matches(matches: DataFrame) -> DataFrame:
     """Accepted pairs -> (doc_id, entity_id) cluster assignment."""
     return connected_components(matches.select("id1", "id2"))
+
+
+def incremental_cc(
+    assignment: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    **cc_kwargs,
+) -> DataFrame:
+    """Update an existing cluster ``assignment`` with ``delta_edges``
+    WITHOUT re-running connected components over the full pair graph.
+
+    ``assignment`` is prior CC output — (doc_id, entity_id) with
+    entity_id = min member id.  New edges are CONTRACTED through it
+    (each endpoint replaced by its entity label, unassigned endpoints by
+    themselves), CC runs on that contracted graph — whose size is
+    bounded by the DELTA, one node per touched cluster or new doc, never
+    the corpus — and the relabeling is composed back onto the
+    assignment.  Exactly the arrival-batch shape of a 10^12-doc pipeline:
+    the standing assignment is a checkpointed stage table, each delta
+    batch costs two slim hash joins keyed by 8-byte ids plus a CC over
+    the contracted (tiny) graph, and the result is provably IDENTICAL to
+    re-clustering the union graph from scratch (contracting connected
+    subgraphs preserves reachability; labels stay global min ids because
+    every contracted node id is itself the min of what it absorbed —
+    the ``delta_clusters`` driver oracle pins that equality).
+
+    Self-loops from intra-cluster delta edges are dropped before CC.
+    """
+    a1 = assignment.select(F.col("doc_id").alias(src), F.col("entity_id").alias("_e1"))
+    a2 = assignment.select(F.col("doc_id").alias(dst), F.col("entity_id").alias("_e2"))
+    contracted = (
+        delta_edges.select(src, dst)
+        .join(a1, src, "left")
+        .join(a2, dst, "left")
+        .select(
+            F.coalesce("_e1", F.col(src)).alias(src),
+            F.coalesce("_e2", F.col(dst)).alias(dst),
+        )
+        .where(F.col(src) != F.col(dst))
+    )
+    relabel = connected_components(contracted, src=src, dst=dst, **cc_kwargs).select(
+        F.col("doc_id").alias("entity_id"), F.col("entity_id").alias("_new")
+    )
+    updated = assignment.join(relabel, "entity_id", "left").select(
+        "doc_id", F.coalesce("_new", F.col("entity_id")).alias("entity_id")
+    )
+    # contracted-graph nodes that are fresh docs (never assigned) get
+    # their own rows; nodes that are old entity labels are already
+    # covered by ``updated`` (an entity label is a member doc id)
+    fresh = (
+        relabel.select(F.col("entity_id").alias("doc_id"), F.col("_new").alias("entity_id"))
+        .join(assignment.select("doc_id"), "doc_id", "left_anti")
+    )
+    return updated.unionByName(fresh)

@@ -91,3 +91,50 @@ def test_distributed_contraction_dense_plus_chain(spark):
     assert {(r["doc_id"], r["entity_id"]) for r in fast.collect()} == {
         (r["doc_id"], r["entity_id"]) for r in rows
     }
+
+
+def _assign(df):
+    return {(r["doc_id"], r["entity_id"]) for r in df.collect()}
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    from pprl_spark.operators.cluster import incremental_cc
+    import random
+
+    rng = random.Random(11)
+    edges = [
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randrange(60), rng.randrange(60)) for _ in range(120)
+        )
+        if a != b
+    ]
+    full = spark.createDataFrame(edges, "id1 long, id2 long")
+    # arrival batch: any edge touching a doc divisible by 5
+    base = full.where((full.id1 % 5 != 0) & (full.id2 % 5 != 0))
+    delta = full.where((full.id1 % 5 == 0) | (full.id2 % 5 == 0))
+    assignment = connected_components(base)
+    got = _assign(incremental_cc(assignment, delta))
+    want = _assign(connected_components(full))
+    assert got == want
+
+
+def test_incremental_cc_new_docs_and_merges(spark):
+    from pprl_spark.operators.cluster import incremental_cc
+
+    base = spark.createDataFrame([(1, 2), (3, 4)], "id1 long, id2 long")
+    assignment = connected_components(base)
+    # 5-6: brand-new pair; 2-3: merges the two existing clusters
+    delta = spark.createDataFrame([(5, 6), (2, 3)], "id1 long, id2 long")
+    got = _assign(incremental_cc(assignment, delta))
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5)}
+
+
+def test_incremental_cc_intra_cluster_edge_noop(spark):
+    from pprl_spark.operators.cluster import incremental_cc
+
+    base = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+    assignment = connected_components(base)
+    delta = spark.createDataFrame([(1, 3)], "id1 long, id2 long")  # already same cluster
+    got = _assign(incremental_cc(assignment, delta))
+    assert got == {(1, 1), (2, 1), (3, 1)}

@@ -71,6 +71,11 @@ def main() -> None:
         blocks_b = explode_blocks(
             add_block_keys(embed_documents(B, cfg, keep=KEEP), cfg), include_indices=False
         ).localCheckpoint()
+    # stage split: the localCheckpoint/bucketed write above materializes
+    # embed+block, so everything after t_embed is the pair join + match —
+    # lets a two-level sweep attribute scaling loss to the CPU-bound
+    # embed stage vs the exchange-bound join separately
+    t_embed = time.time() - t0
     cand = generate_candidates(blocks_a, blocks_b, cfg, min_sim=cfg.abs_cutoff)
     # one action: match count + an order-insensitive content hash (sum of
     # per-pair xxhash64 as decimal so it cannot overflow), so plain and
@@ -89,6 +94,8 @@ def main() -> None:
                       "n_per_source": n, "matches": n_matches,
                       "match_set_hash": str(match_hash),
                       "elapsed_sec": round(elapsed, 2),
+                      "embed_sec": round(t_embed, 2),
+                      "match_sec": round(elapsed - t_embed, 2),
                       "docs_per_sec": round(2 * n / elapsed, 1)}))
     spark.stop()
 

@@ -45,6 +45,18 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "matches_equal": lo["matches"] == hi["matches"],
     }
+    # per-stage attribution when the job reports the split: embed is the
+    # CPU-bound stage (Arrow-batched hashing), match is exchange-bound
+    if "embed_sec" in lo and "embed_sec" in hi:
+        ratio = hi_cores / lo_cores
+        result["embed_efficiency"] = round(
+            (lo["embed_sec"] / hi["embed_sec"]) / ratio, 3
+        )
+        result["match_efficiency"] = round(
+            (lo["match_sec"] / hi["match_sec"]) / ratio, 3
+        )
+        result["embed_sec"] = [lo["embed_sec"], hi["embed_sec"]]
+        result["match_sec"] = [lo["match_sec"], hi["match_sec"]]
     print(json.dumps(result))
 
 
