@@ -822,6 +822,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def spans_exact_dedup(spark, sf_dir):
+        # exact dedup over the input_hint INTERLEAVED shape: flat docs
+        # lift to text spans (lang/source/n_chars), plus one media span
+        # derived from content (kind=image, text=null,
+        # media_ref=img://(n_chars%7)) so the serializer's media_ref and
+        # null-text paths are exercised; duplicates are docs whose whole
+        # span SEQUENCE agrees on (kind, text, media_ref, order). The
+        # US/RS-separated serialization is injective in (lang, source,
+        # n_chars) — the media span is a function of n_chars — so the
+        # oracle groups by the raw triple instead of rebuilding strings.
+        from pprl_spark.operators.dedup import exact_duplicate_spans
+        from pprl_spark.sources.tables import lift_flat_records
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        lifted = lift_flat_records(
+            docs, "doc_id", ["lang", "source", "n_chars"], keep=["n_chars"]
+        )
+        media_span = F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("img://"), (F.col("n_chars") % 7).cast("string")).alias(
+                "media_ref"
+            ),
+            F.lit(3).alias("offset"),
+        )
+        interleaved = lifted.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat("spans", F.array(media_span)).alias("spans"),
+        )
+        out = exact_duplicate_spans(interleaved)
+        return out.select(
+            "doc_id",
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+
     def text_quality_filters(spark, sf_dir):
         # Gopher-style per-row quality-filter metrics (repetition ratio,
         # symbol ratio, max word length, alpha-word ratio) + the keep
@@ -1365,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "delta_clusters": delta_clusters,
         "dedup_cluster_sizes": dedup_cluster_sizes,
+        "spans_exact_dedup": spans_exact_dedup,
         "dedup_canonical": dedup_canonical,
         "sample_stratified": sample_stratified,
         "text_quality_filters": text_quality_filters,
@@ -2081,6 +2118,18 @@ FROM r WHERE rank <= 3
         "pprl_mutual_best_match": mutual_sql,
         "pprl_clusters": clusters_sql,
         "dedup_exact": dedup_exact_sql,
+        # the serialized span sequence is injective in (lang, source,
+        # n_chars) for this construction, so the oracle groups by the
+        # raw triple (NULL-free corpus; the engine coalesces nulls to '')
+        "spans_exact_dedup": """
+WITH canon AS (
+  SELECT lang, source, n_chars,
+         min(doc_id::BIGINT) AS canonical_id, count(*)::BIGINT AS n_copies
+  FROM documents GROUP BY lang, source, n_chars HAVING count(*) > 1
+)
+SELECT d.doc_id::BIGINT AS doc_id, c.canonical_id, c.n_copies
+FROM documents d JOIN canon c USING (lang, source, n_chars)
+""",
         "dedup_clusters": dedup_clusters_sql,
         # the incremental-maintenance query must equal the full-graph
         # recompute — the SAME oracle pins that equivalence

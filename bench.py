@@ -120,6 +120,7 @@ def main() -> None:
         "text_decontaminate": lambda s: q["text_decontaminate"](s, SF_DIR).count(),
         "text_blocklist": lambda s: q["text_blocklist"](s, SF_DIR).count(),
         "text_tfidf": lambda s: q["text_tfidf"](s, SF_DIR).count(),
+        "spans_exact_dedup": lambda s: q["spans_exact_dedup"](s, SF_DIR).count(),
     }
 
     # EVERY query records a median of N_RUNS genuine samples: this host's

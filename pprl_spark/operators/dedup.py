@@ -482,3 +482,62 @@ def canonical_documents(
             "n_members",
         )
     )
+
+
+SPAN_FIELD_SEP = "\x1f"  # US — never appears in field text
+SPAN_SEP = "\x1e"  # RS — joins serialized spans
+
+
+def span_serialize_col(spans: Column | str) -> Column:
+    """Canonical serialization of an input_hint spans array.
+
+    Spans sort by ``offset`` (the order the input_hint invariant
+    preserves), then each serializes as kind␟text␟media_ref (US-joined,
+    nulls -> ''), RS-joined across spans — a deterministic, collision-free
+    encoding of the per-row sequence (kind, text, media_ref, order) that
+    SQL reproduces with plain string concatenation. All codegen'd array
+    expressions; media payloads are never touched (media spans carry
+    refs, not bytes).
+    """
+    c = F.col(spans) if isinstance(spans, str) else spans
+    ordered = F.array_sort(
+        F.transform(
+            c,
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                F.concat(
+                    F.coalesce(s["kind"], F.lit("")),
+                    F.lit(SPAN_FIELD_SEP),
+                    F.coalesce(s["text"], F.lit("")),
+                    F.lit(SPAN_FIELD_SEP),
+                    F.coalesce(s["media_ref"], F.lit("")),
+                ).alias("ser"),
+            ),
+        )
+    )
+    return F.array_join(F.transform(ordered, lambda s: s["ser"]), SPAN_SEP)
+
+
+def exact_duplicate_spans(df: DataFrame, spans_col: str = "spans", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup of interleaved text+media documents by span-sequence.
+
+    The input_hint-shape twin of :func:`exact_duplicates`: two documents
+    are duplicates iff their span SEQUENCES agree on (kind, text,
+    media_ref, order) — the per-row invariant — via
+    :func:`span_serialize_col`. Same 128-bit two-independent-xxhash64
+    shuffle key (16 bytes/doc; serialized spans never move), same
+    (doc_id, canonical_id, n_copies) contract, duplicates only.
+    """
+    ser = span_serialize_col(spans_col)
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.xxhash64(ser).alias("fp1"),
+        F.xxhash64(F.lit(1), ser).alias("fp2"),
+    )
+    groups = keyed.groupBy("fp1", "fp2").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+    return (
+        keyed.join(groups.where(F.col("n_copies") > 1), ["fp1", "fp2"])
+        .select("doc_id", "canonical_id", "n_copies")
+    )

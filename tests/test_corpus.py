@@ -110,3 +110,52 @@ def test_blocklist_hits_and_scrub(spark):
     assert got[1] == (2, "[X] query [X] scan")  # case-normalized matching
     assert got[2] == (0, "fast scan")
     assert got[3] == (0, "")
+
+
+# --- interleaved span-sequence dedup (input_hint shape) -----------------
+
+SPAN_SCHEMA = (
+    "doc_id long, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def test_span_serialize_sorts_by_offset(spark):
+    from pprl_spark.operators.dedup import span_serialize_col
+
+    rows = [
+        (1, [("text", "b", None, 1), ("text", "a", None, 0)]),
+        (2, [("text", "a", None, 0), ("text", "b", None, 1)]),
+    ]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    got = df.select("doc_id", span_serialize_col("spans").alias("s")).collect()
+    vals = {r["doc_id"]: r["s"] for r in got}
+    assert vals[1] == vals[2]  # same sequence once offset-ordered
+
+
+def test_span_serialize_separators_prevent_collisions(spark):
+    from pprl_spark.operators.dedup import span_serialize_col
+
+    rows = [
+        (1, [("text", "ab", None, 0)]),
+        (2, [("text", "a", "b", 0)]),  # text/media_ref boundary
+        (3, [("text", "a", None, 0), ("text", "b", None, 1)]),  # span boundary
+    ]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    got = [r["s"] for r in df.select(span_serialize_col("spans").alias("s")).collect()]
+    assert len(set(got)) == 3
+
+
+def test_exact_duplicate_spans(spark):
+    from pprl_spark.operators.dedup import exact_duplicate_spans
+
+    rows = [
+        (1, [("text", "x", None, 0), ("image", None, "img://1", 1)]),
+        (2, [("text", "x", None, 0), ("image", None, "img://1", 1)]),  # dup of 1
+        (3, [("text", "x", None, 0), ("image", None, "img://2", 1)]),  # media differs
+        (4, [("text", "x", None, 0)]),  # shorter sequence
+    ]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    got = {(r["doc_id"], r["canonical_id"], r["n_copies"])
+           for r in exact_duplicate_spans(df).collect()}
+    assert got == {(1, 1, 2), (2, 1, 2)}
