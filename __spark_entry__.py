@@ -858,6 +858,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_copies").cast("long").alias("n_copies"),
         )
 
+    def text_quality_trim(spark, sf_dir):
+        # corpus-calibrated quality cutoff: drop the bottom decile by
+        # quality_score, threshold = exact type-7 percentile over the
+        # corpus (1-row aggregate broadcast back, lazy). The oracle
+        # recomputes the identical quality doubles and quantile_cont
+        # threshold, so the KEPT SET is value-checked at full precision.
+        from pprl_spark.operators.corpus import quality_trim
+
+        docs = _docs(spark, sf_dir)
+        out = quality_trim(docs, TXT.quality_score("text"), frac=0.1)
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            _floor6(TXT.quality_score("text")).alias("quality"),
+        )
+
+    def sample_token_budget(spark, sf_dir):
+        # training-mixture sampling to an expected per-language token
+        # budget: one tiny per-stratum token-total agg -> exact integer
+        # rate_ppm on the driver -> the same content-addressed hash
+        # filter as sample_stratified (deterministic membership, zero
+        # shuffle). Budgets: en 3000 tok, zh 5000 (under budget -> keep
+        # all), every other language 2000; salt 7. The oracle recomputes
+        # the identical HUGEINT floor-division rates and sha256 hash, so
+        # the kept SET is value-checked, not just its size.
+        from pprl_spark.operators.sampling import token_budget_sample
+
+        docs = _docs(spark, sf_dir).withColumn("_nt", TXT.token_count("text"))
+        out = token_budget_sample(
+            docs, "lang", {"en": 3000, "zh": 5000}, "_nt", default_budget=2000, salt=7
+        )
+        return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
     def text_quality_filters(spark, sf_dir):
         # Gopher-style per-row quality-filter metrics (repetition ratio,
         # symbol ratio, max word length, alpha-word ratio) + the keep
@@ -1404,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_exact_dedup": spans_exact_dedup,
         "dedup_canonical": dedup_canonical,
         "sample_stratified": sample_stratified,
+        "sample_token_budget": sample_token_budget,
+        "text_quality_trim": text_quality_trim,
         "text_quality_filters": text_quality_filters,
         "text_chunks": text_chunks,
         "vocab_topk": vocab_topk,
@@ -2149,6 +2183,25 @@ FROM documents d JOIN canon c USING (lang, source, n_chars)
         ),
         "dedup_canonical": dedup_canonical_sql,
         "sample_stratified": sample_stratified_sql,
+        "text_quality_trim": "\nWITH base AS (\n  SELECT doc_id::BIGINT AS doc_id,\n         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> w <> '') AS w\n  FROM documents\n),\nq AS (\n  SELECT doc_id,\n         0.4 * least(1.0, len(w) / 50.0)\n         + (CASE WHEN len(w) > 0 THEN 0.3 * (len(list_distinct(w))::DOUBLE / len(w)) ELSE 0.0 END)\n         + (CASE WHEN len(w) > 0 THEN 0.3 * least(1.0,\n              (list_reduce([0::BIGINT] || [len(x) FOR x IN w], (a, x) -> a + x)::DOUBLE / len(w)) / 8.0)\n            ELSE 0.0 END) AS quality\n  FROM base\n),\nt AS (SELECT quantile_cont(quality, 0.1) AS thr FROM q)\nSELECT doc_id, floor(quality * 1000000)/1000000.0 AS quality\nFROM q, t WHERE quality >= thr\n",
+        "sample_token_budget": r"""
+WITH nt AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS nt
+  FROM documents
+),
+tot AS (SELECT lang, sum(nt)::HUGEINT AS total FROM nt GROUP BY lang),
+rate AS (
+  SELECT lang,
+         least(1000000::HUGEINT,
+               (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 5000 ELSE 2000 END)::HUGEINT
+                 * 1000000 // total) AS ppm
+  FROM tot WHERE total > 0
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.lang
+FROM documents d JOIN rate r USING (lang)
+WHERE ('0x' || substring(sha256('7:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < ppm
+""",
         "text_quality_filters": text_quality_filters_sql,
         "text_chunks": text_chunks_sql,
         "spans_roundtrip": spans_roundtrip_sql,

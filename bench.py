@@ -110,17 +110,20 @@ def main() -> None:
         # shuffle-free content-addressed sampler (r5)
         "dedup_canonical": lambda s: q["dedup_canonical"](s, SF_DIR).count(),
         "sample_stratified": lambda s: q["sample_stratified"](s, SF_DIR).count(),
-        # corpus-statistics / hygiene passes (r5): heavy hitters,
-        # benchmark-overlap decontamination, dictionary scrub, TF-IDF
         # incremental cluster maintenance + cluster-size histogram (r5);
         # both reuse the memoized minhash pair table (like dedup_clusters)
         "delta_clusters": lambda s: q["delta_clusters"](s, SF_DIR).count(),
         "dedup_cluster_sizes": lambda s: q["dedup_cluster_sizes"](s, SF_DIR).count(),
+        # corpus-statistics / hygiene passes (r5): heavy hitters,
+        # benchmark-overlap decontamination, dictionary scrub, TF-IDF,
+        # span-sequence dedup, token-budget sampling, quality trim
         "vocab_topk": lambda s: q["vocab_topk"](s, SF_DIR).count(),
         "text_decontaminate": lambda s: q["text_decontaminate"](s, SF_DIR).count(),
         "text_blocklist": lambda s: q["text_blocklist"](s, SF_DIR).count(),
         "text_tfidf": lambda s: q["text_tfidf"](s, SF_DIR).count(),
         "spans_exact_dedup": lambda s: q["spans_exact_dedup"](s, SF_DIR).count(),
+        "sample_token_budget": lambda s: q["sample_token_budget"](s, SF_DIR).count(),
+        "text_quality_trim": lambda s: q["text_quality_trim"](s, SF_DIR).count(),
     }
 
     # EVERY query records a median of N_RUNS genuine samples: this host's

@@ -180,3 +180,38 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= n_top)
     )
+
+
+def quality_trim(
+    docs: DataFrame,
+    quality,
+    frac: float = 0.1,
+    exact: bool = True,
+) -> DataFrame:
+    """Drop the bottom ``frac`` quality quantile, threshold calibrated
+    FROM the corpus (the way production quality cutoffs are actually
+    set — a fixed constant is wrong the moment the corpus mix shifts).
+
+    The threshold is a 1-row aggregate broadcast-joined back (lazy — no
+    driver action at construction), so the operator is two scans: one to
+    aggregate the cutoff, one codegen'd filter. ``exact=True`` uses
+    ``F.percentile`` (type-7, oracle-reproducible via DuckDB
+    ``quantile_cont``) whose single-group agg ships every value to one
+    aggregator — the same documented tradeoff as
+    ``events.event_value_percentiles``; flip ``exact=False`` for the
+    ``approx_percentile`` sketch (mergeable, bounded memory) when the
+    corpus is too large to ship, at the cost of oracle exactness.
+    """
+    if not 0.0 <= frac < 1.0:
+        raise ValueError(f"frac must be in [0,1), got {frac}")
+    agg = (
+        F.percentile(quality, F.lit(frac))
+        if exact
+        else F.approx_percentile(quality, F.lit(frac), F.lit(10000))
+    )
+    thr = docs.agg(agg.alias("_thr"))
+    return (
+        docs.join(F.broadcast(thr))
+        .where(quality >= F.col("_thr"))
+        .drop("_thr")
+    )

@@ -101,3 +101,45 @@ def stratified_sample_table(
     joined = df.join(F.broadcast(r), strata_col, "left")
     rate = F.coalesce(F.col("_rate_ppm"), F.lit(int(round(default_fraction * PPM))))
     return joined.where(_keep(F.col(key_col), salt, rate)).drop("_rate_ppm")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    budgets: dict[str, int],
+    n_tokens_col: str,
+    default_budget: int | None = None,
+    salt: int = 0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample each stratum to an EXPECTED token budget — the
+    training-mixture primitive ("2B tokens of en, 500M of zh, ...").
+
+    One map-side-combined aggregation computes per-stratum token totals
+    (a tiny table: strata are languages/domains, collected to the
+    driver where ``rate_ppm = budget*1e6 // total`` is computed in exact
+    arbitrary-precision integers — no float/decimal rounding to diverge
+    from an oracle), then the whole sample is the same codegen'd
+    content-addressed filter as :func:`stratified_sample`: deterministic
+    by (key, salt), no shuffle, no join, invariant under repartition and
+    resume. Strata over budget keep ~budget tokens in expectation;
+    strata under budget keep everything; strata with no budget and
+    ``default_budget=None`` are dropped.
+    """
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.sum(n_tokens_col)).collect()
+        if r[1] is not None
+    }
+    fractions: dict[str, float] = {}
+    for s, total in totals.items():
+        b = budgets.get(s, default_budget)
+        if b is None or total <= 0:
+            continue
+        ppm = min(PPM, (int(b) * PPM) // int(total))
+        # integer ppm / PPM round-trips exactly through
+        # stratified_sample's int(round(f * PPM))
+        fractions[s] = ppm / PPM
+    return stratified_sample(
+        df, strata_col, fractions, default_fraction=0.0, salt=salt, key_col=key_col
+    )

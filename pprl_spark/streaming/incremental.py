@@ -292,3 +292,49 @@ def start_embed_stream(
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    input_dir: str,
+    bench: DataFrame,
+    schema: str = "doc_id long, ts timestamp, text string",
+    n: int = 3,
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators.corpus.decontaminate``: arriving
+    documents are checked against a STATIC benchmark gram table (eval
+    suites change rarely; the stream does not). The benchmark grams
+    broadcast once; each batch is a scan + broadcast join, and the
+    per-doc shared-gram count is a streaming aggregation whose state
+    holds only CONTAMINATED doc_ids — rare by construction — grouped
+    under the event-time window so the ``watermark`` evicts finished
+    rows (a doc's grams all arrive in its one input row, so its count
+    is complete in the batch that carries it; pass ``watermark=None``
+    only for bounded test inputs). Emit with update/append mode;
+    returns (doc_id, n_shared), same contract as the batch operator.
+    """
+    from pprl_spark.functions.text import rolling_hash_col, word_shingles
+    from pprl_spark.operators.corpus import benchmark_grams
+
+    grams = F.broadcast(benchmark_grams(bench, n=n))
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark)
+    doc_grams = stream.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles("text", n), lambda s: rolling_hash_col(s))
+            )
+        ).alias("gram"),
+    )
+    hits = doc_grams.join(grams, "gram")
+    keys = (
+        [F.window("ts", "1 hour"), F.col("doc_id")]
+        if watermark is not None
+        else [F.col("doc_id")]
+    )
+    agg = hits.groupBy(*keys).agg(F.count("*").alias("n_shared"))
+    return agg.select("doc_id", "n_shared")

@@ -159,3 +159,46 @@ def test_exact_duplicate_spans(spark):
     got = {(r["doc_id"], r["canonical_id"], r["n_copies"])
            for r in exact_duplicate_spans(df).collect()}
     assert got == {(1, 1, 2), (2, 1, 2)}
+
+
+def test_token_budget_sample(spark):
+    from pprl_spark.operators.sampling import PPM, token_budget_sample, sample_hash
+    from pyspark.sql import functions as F
+
+    rows = [(i, "en" if i < 8 else "zh", 100) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, nt long")
+    # en total = 800 -> budget 400 = rate 500000ppm; zh total 400 <= 1000 -> keep all
+    out = token_budget_sample(df, "lang", {"en": 400, "zh": 1000}, "nt", salt=3)
+    got = {r["doc_id"] for r in out.collect()}
+    assert {i for i in range(8, 12)} <= got  # zh fully kept
+    # en membership is exactly the hash rule at 500000 ppm
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in df.where("lang = 'en'")
+        .select("doc_id", (sample_hash(F.col("doc_id"), 3) % PPM).alias("h"))
+        .collect()
+    }
+    want_en = {d for d, h in hashes.items() if h < 500_000}
+    assert {d for d in got if d < 8} == want_en
+
+
+def test_token_budget_sample_drops_unbudgeted_strata(spark):
+    from pprl_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "xx", 10)], "doc_id long, lang string, nt long"
+    )
+    out = token_budget_sample(df, "lang", {"en": 100}, "nt", default_budget=None)
+    assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_quality_trim_drops_bottom_fraction(spark):
+    from pprl_spark.operators.corpus import quality_trim
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "doc_id long, q double"
+    )
+    out = quality_trim(df, F.col("q"), frac=0.5)
+    # type-7 percentile(0.5) over 0..9 = 4.5 -> keep q >= 4.5
+    assert {r["doc_id"] for r in out.collect()} == {5, 6, 7, 8, 9}

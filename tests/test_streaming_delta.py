@@ -178,3 +178,60 @@ def test_append_ivf_index_equals_fresh_assignment(spark, tmp_path):
     assert g == w
     # the appended delta is actually reachable: some result comes from it
     assert any(v >= 800 for (_, v, _) in g)
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming decontamination over a static benchmark gram table must
+    emit the same (doc_id, n_shared) rows as the batch operator."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pprl_spark.operators.corpus import decontaminate
+    from pprl_spark.streaming.incremental import stream_decontaminate
+
+    in_dir, out_dir, ck = (
+        str(tmp_path / "din"),
+        str(tmp_path / "dout"),
+        str(tmp_path / "dck"),
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    arrivals = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "ts": pd.to_datetime("2026-01-01 10:00:00"),
+            "text": [
+                "a b c x y",      # shares gram "a b c"
+                "x y z w v",      # clean
+                "a b c d e f",    # shares "a b c", "b c d", "c d e"
+            ],
+        }
+    )
+    schema = "doc_id long, ts timestamp, text string"
+    spark.createDataFrame(arrivals, schema).coalesce(1).write.parquet(in_dir)
+
+    # append mode would hold rows until the watermark closes each
+    # event-time window, which a single availableNow run never reaches;
+    # complete mode into a memory sink reads the final counts directly
+    out = stream_decontaminate(spark, in_dir, bench, n=3)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("decon_counts")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["n_shared"])
+        for r in spark.sql("SELECT * FROM decon_counts").collect()
+    }
+    want = {
+        (r["doc_id"], r["n_shared"])
+        for r in decontaminate(
+            spark.read.parquet(in_dir), bench, n=3
+        ).collect()
+    }
+    assert got == want == {(1, 1), (3, 3)}
