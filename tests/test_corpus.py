@@ -202,3 +202,31 @@ def test_quality_trim_drops_bottom_fraction(spark):
     out = quality_trim(df, F.col("q"), frac=0.5)
     # type-7 percentile(0.5) over 0..9 = 4.5 -> keep q >= 4.5
     assert {r["doc_id"] for r in out.collect()} == {5, 6, 7, 8, 9}
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, docs):
+    from pprl_spark.operators.corpus import decontaminate
+
+    bench = docs.where(F.col("doc_id") == 2)
+    corpus = docs.where(F.col("doc_id") != 2)
+    plan = _plan(decontaminate(corpus, bench, n=3))
+    assert "BroadcastHashJoin" in plan  # benchmark grams broadcast
+    # the corpus side must reach the join without any exchange: the only
+    # hash exchanges allowed are the benchmark-gram distinct and the
+    # final per-doc count
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_tfidf_plan_broadcast_and_window_limit(spark, docs):
+    from pprl_spark.operators.corpus import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(docs, n_top=2))
+    assert "BroadcastHashJoin" in plan  # IDF table broadcast back
+    # Spark 4 pushes the rank<=n filter into a pre-shuffle partial
+    # group-limit, so only ~n rows per (doc, partition) ride the window
+    # exchange — if this ever disappears the top-n becomes a full sort
+    assert "WindowGroupLimit" in plan
