@@ -1085,6 +1085,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("long").alias("rank"),
         )
 
+    def text_surprisal(spark, sf_dir):
+        # CCNet-style LM-proxy quality scoring: corpus unigram surprisal
+        # table in integer micro-nats (truncation at the small vocab
+        # table makes every downstream step integer/exactly-rounded —
+        # Spark and DuckDB ln() differ in the last bit on this host, so
+        # double log-probs can NOT flow into sums), per-doc integer mean,
+        # head/middle/tail split on the corpus' own exact tertiles.
+        from pprl_spark.operators.corpus import (
+            perplexity_buckets,
+            surprisal_scores,
+            unigram_surprisals,
+        )
+
+        docs = _docs(spark, sf_dir)
+        scores = surprisal_scores(docs, unigram_surprisals(docs))
+        out = perplexity_buckets(scores)
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("sum_u").cast("long").alias("sum_u"),
+            F.col("mean_u").cast("long").alias("mean_u"),
+            "bucket",
+        )
+
     def ann_topk(spark, sf_dir):
         emb = _embeddings(spark, sf_dir)
         queries_df = emb.where(F.col("vec_id") < 10).select(
@@ -1444,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": text_decontaminate,
         "text_blocklist": text_blocklist,
         "text_tfidf": text_tfidf,
+        "text_surprisal": text_surprisal,
         "spans_roundtrip": spans_roundtrip,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
@@ -2127,8 +2152,53 @@ SELECT doc_id, word, floor(score * 1000000)/1000000.0 AS score, rank::BIGINT AS 
 FROM r WHERE rank <= 3
 """
 
+    # CCNet-style unigram-surprisal twin. surprisal_u is truncated to
+    # integer micro-nats AT THE VOCAB TABLE (floor(1e6*ln(total/cnt))):
+    # Spark's and DuckDB's ln() differ by 1 ulp on this host (measured at
+    # ln(3.0)), so log-probs must become integers before any sum. All
+    # downstream arithmetic is then exact: integer sums, floor(sum/n)
+    # (exact for n<=1e12 — the rational is >=1/n from any non-attained
+    # integer), and type-7 quantile cuts over integer-valued doubles
+    # (interpolated threshold lands on an integer only when computed
+    # exactly by both engines).
+    text_surprisal_sql = r"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(w) AS word FROM w),
+c AS (SELECT word, count(*)::BIGINT AS cnt FROM ex GROUP BY word),
+t AS (SELECT sum(cnt)::DOUBLE AS total FROM c),
+v AS (
+  SELECT word,
+         CAST(floor(ln(total / cnt::DOUBLE) * 1000000.0) AS BIGINT) AS su
+  FROM c CROSS JOIN t
+),
+s AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(su)::BIGINT AS sum_u
+  FROM ex JOIN v USING (word) GROUP BY doc_id
+),
+m AS (
+  SELECT doc_id, n_tokens, sum_u,
+         CAST(floor(sum_u::DOUBLE / n_tokens::DOUBLE) AS BIGINT) AS mean_u
+  FROM s
+),
+q AS (
+  SELECT quantile_cont(mean_u::DOUBLE, 1.0/3.0) AS lo,
+         quantile_cont(mean_u::DOUBLE, 2.0/3.0) AS hi
+  FROM m
+)
+SELECT doc_id, n_tokens, sum_u, mean_u,
+       CASE WHEN mean_u::DOUBLE <= lo THEN 'head'
+            WHEN mean_u::DOUBLE <= hi THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM m CROSS JOIN q
+"""
+
     return {
         "vocab_topk": vocab_topk_sql,
+        "text_surprisal": text_surprisal_sql,
         "text_decontaminate": text_decontaminate_sql,
         "text_blocklist": text_blocklist_sql,
         "text_tfidf": text_tfidf_sql,

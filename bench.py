@@ -124,6 +124,8 @@ def main() -> None:
         "spans_exact_dedup": lambda s: q["spans_exact_dedup"](s, SF_DIR).count(),
         "sample_token_budget": lambda s: q["sample_token_budget"](s, SF_DIR).count(),
         "text_quality_trim": lambda s: q["text_quality_trim"](s, SF_DIR).count(),
+        # CCNet-style unigram-surprisal scoring + head/middle/tail split
+        "text_surprisal": lambda s: q["text_surprisal"](s, SF_DIR).count(),
     }
 
     # EVERY query records a median of N_RUNS genuine samples: this host's

@@ -215,3 +215,136 @@ def quality_trim(
         .where(quality >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def unigram_surprisals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram surprisal table -> (word, cnt, surprisal_u).
+
+    ``surprisal_u = floor(1e6 * ln(total_tokens / cnt))`` — the
+    negative log-probability of each corpus token in integer
+    **micro-nats**. Truncating to integers at the (small) vocabulary
+    table is what makes the whole CCNet-style scoring stack
+    cross-engine exact: every downstream step (per-document sums,
+    ``floor(sum/n)`` means, percentile cuts) is then integer or
+    exactly-rounded arithmetic, immune to the 1-ulp ``ln`` divergence
+    between libm implementations (measured on this host: Spark and
+    DuckDB disagree on ``ln(3.0)``'s last bit). The residual risk is a
+    single floor-boundary landing within 1 ulp of a 1e-6 grid point for
+    some vocabulary word — checked empirically by the driver oracle on
+    the fixed test grids.
+
+    Scale shape: one map-side-combined word-count groupBy (the shuffle
+    carries ≤ |vocab| rows per map partition); the total is a 1-row
+    aggregate broadcast back. Lazy — no driver action at construction.
+    """
+    counts = (
+        docs.select(F.explode(words_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("_total"))
+    return counts.join(F.broadcast(total)).select(
+        "word",
+        "cnt",
+        F.floor(
+            F.log(F.col("_total") / F.col("cnt").cast("double")) * F.lit(1e6)
+        ).alias("surprisal_u"),
+    )
+
+
+def surprisal_scores(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+    oov_surprisal_u: int | None = None,
+) -> DataFrame:
+    """Per-document mean unigram surprisal (CCNet-style LM quality proxy)
+    -> (doc_id, n_tokens, sum_u, mean_u).
+
+    The language-model-perplexity filter of Wenzek et al. (CCNet, 2020)
+    with the KenLM 5-gram model replaced by the corpus' own unigram
+    model (:func:`unigram_surprisals`): fluent, ordinary documents score
+    low; rare-token soup (boilerplate, lexicon spam, mojibake) scores
+    high. ``mean_u = floor(sum_u / n_tokens)`` stays in integer
+    micro-nats: sum and count are exact integers, and for n ≤ 1e12 the
+    double division cannot cross an integer boundary (the exact ratio is
+    ≥ 1/n from any non-attained integer, ≫ the 1e-16 relative rounding
+    error), so the floor is engine-independent.
+
+    Scale shape: explode keeps same-document tokens in their partition
+    (explode never exchanges), the vocab join is broadcast (vocabulary ≪
+    corpus; ``broadcast_vocab=False`` for unbounded vocabularies), so
+    the per-doc groupBy partially aggregates each document to one slim
+    row map-side before the only shuffle. Documents with zero tokens
+    have no defined perplexity and are dropped (CCNet drops them too).
+
+    ``oov_surprisal_u``: surprisal assigned to tokens absent from
+    ``vocab`` (for trimmed/external vocabularies). ``None`` = inner-join
+    semantics: OOV tokens are skipped entirely and ``n_tokens`` counts
+    only scored tokens.
+    """
+    v = vocab.select("word", "surprisal_u")
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    ex = docs.select("doc_id", F.explode(words_col(text_col)).alias("word"))
+    if oov_surprisal_u is None:
+        joined = ex.join(v, "word")
+        su = F.col("surprisal_u")
+    else:
+        joined = ex.join(v, "word", "left")
+        su = F.coalesce(F.col("surprisal_u"), F.lit(int(oov_surprisal_u)))
+    return (
+        joined.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum(su).alias("sum_u"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_u",
+            F.floor(
+                F.col("sum_u").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("mean_u"),
+        )
+    )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    score_col: str = "mean_u",
+    bounds: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet head/middle/tail split on the corpus' own score quantiles.
+
+    Adds ``bucket``: 'head' (lowest surprisal = most fluent), 'middle',
+    'tail'. The cut points are exact type-7 percentiles of ``score_col``
+    (``F.percentile`` ≡ DuckDB ``quantile_cont``, the parity already
+    proven by the events_percentiles oracle), computed as a 1-row
+    aggregate and broadcast back — two scans, no corpus-sized shuffle.
+    Integer-valued scores make the boundary comparison engine-exact: the
+    interpolated threshold lands ON an integer only when the
+    interpolation fraction is exactly 0 or the bracketing values are
+    equal, and in both cases every engine computes it exactly.
+
+    Same documented tradeoff as :func:`quality_trim` ``exact=True``:
+    the exact percentile ships every score (one slim row per doc) to a
+    single aggregator — fine to ~1e9 docs; beyond that switch the cut
+    to ``approx_percentile`` and accept a weaker oracle.
+    """
+    lo, hi = bounds
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"bounds must satisfy 0 < lo < hi < 1, got {bounds}")
+    c = F.col(score_col).cast("double")
+    thr = scores.agg(
+        F.percentile(c, F.lit(lo)).alias("_lo"),
+        F.percentile(c, F.lit(hi)).alias("_hi"),
+    )
+    return (
+        scores.join(F.broadcast(thr))
+        .withColumn(
+            "bucket",
+            F.when(c <= F.col("_lo"), F.lit("head"))
+            .when(c <= F.col("_hi"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_lo", "_hi")
+    )

@@ -230,3 +230,105 @@ def test_tfidf_plan_broadcast_and_window_limit(spark, docs):
     # group-limit, so only ~n rows per (doc, partition) ride the window
     # exchange — if this ever disappears the top-n becomes a full sort
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# Unigram surprisal / CCNet-style perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_surprisals_golden(spark, docs):
+    import math
+
+    from pprl_spark.operators.corpus import unigram_surprisals
+
+    got = {r["word"]: (r["cnt"], r["surprisal_u"]) for r in unigram_surprisals(docs).collect()}
+    # counts over docs 1-4 (doc 5 is empty): total = 26 tokens
+    counts = {"a": 5, "b": 4, "c": 3, "x": 3, "d": 2, "e": 2, "f": 2, "y": 2,
+              "z": 1, "g": 1, "h": 1}
+    assert {w: c for w, (c, _) in got.items()} == counts
+    for w, c in counts.items():
+        assert got[w][1] == math.floor(1e6 * math.log(26.0 / c)), w
+
+
+def test_surprisal_scores_integer_mean(spark, docs):
+    from pprl_spark.operators.corpus import surprisal_scores, unigram_surprisals
+
+    vocab = unigram_surprisals(docs)
+    su = {r["word"]: r["surprisal_u"] for r in vocab.collect()}
+    got = {r["doc_id"]: r for r in surprisal_scores(docs, vocab).collect()}
+    texts = {1: "a b c a b a", 2: "a b c d e f", 3: "x y z x y x",
+             4: "a b c d e f g h"}
+    assert set(got) == set(texts)  # doc 5 (zero tokens) dropped, CCNet-style
+    for d, t in texts.items():
+        toks = t.split()
+        exp_sum = sum(su[w] for w in toks)
+        assert got[d]["n_tokens"] == len(toks)
+        assert got[d]["sum_u"] == exp_sum
+        assert got[d]["mean_u"] == exp_sum // len(toks)  # exact integer floor
+
+
+def test_surprisal_scores_oov_modes(spark, docs):
+    from pprl_spark.operators.corpus import surprisal_scores, unigram_surprisals
+
+    vocab = unigram_surprisals(docs).where(F.col("cnt") >= 2)  # trim: drops z,g,h
+    # inner-join semantics: OOV tokens skipped, n_tokens counts scored only
+    inner = {r["doc_id"]: r for r in surprisal_scores(docs, vocab).collect()}
+    assert inner[3]["n_tokens"] == 5  # 'z' skipped from 'x y z x y x'
+    assert inner[4]["n_tokens"] == 6  # 'g h' skipped
+    # default-surprisal semantics: OOV charged at the given rate
+    flat = {r["doc_id"]: r for r in
+            surprisal_scores(docs, vocab, oov_surprisal_u=9_000_000).collect()}
+    assert flat[3]["n_tokens"] == 6
+    assert flat[3]["sum_u"] == inner[3]["sum_u"] + 9_000_000
+
+
+def test_perplexity_buckets_tertiles(spark, docs):
+    from pprl_spark.operators.corpus import (
+        perplexity_buckets,
+        surprisal_scores,
+        unigram_surprisals,
+    )
+
+    scores = surprisal_scores(docs, unigram_surprisals(docs))
+    got = {r["doc_id"]: r for r in perplexity_buckets(scores).collect()}
+    means = sorted(r["mean_u"] for r in got.values())
+    # type-7 percentile over n=4 values: pos = p*(n-1)
+    def q(p):
+        pos = p * (len(means) - 1)
+        lo, f = int(pos), pos - int(pos)
+        return means[lo] + f * (means[min(lo + 1, len(means) - 1)] - means[lo])
+
+    lo, hi = q(1.0 / 3.0), q(2.0 / 3.0)
+    for r in got.values():
+        exp = "head" if r["mean_u"] <= lo else ("middle" if r["mean_u"] <= hi else "tail")
+        assert r["bucket"] == exp, (r["doc_id"], r["mean_u"], lo, hi)
+    assert {r["bucket"] for r in got.values()} >= {"head", "tail"}
+
+
+def test_surprisal_plan_broadcasts_vocab(spark, docs):
+    from pprl_spark.operators.corpus import (
+        perplexity_buckets,
+        surprisal_scores,
+        unigram_surprisals,
+    )
+
+    out = perplexity_buckets(surprisal_scores(docs, unigram_surprisals(docs)))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # vocab and the 1-row total/threshold aggregates join broadcast-side;
+    # the only corpus-sized exchanges are the word-count and per-doc
+    # groupBys (both map-side combined)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_surprisal_partitioning_independent(spark, docs):
+    from pprl_spark.operators.corpus import surprisal_scores, unigram_surprisals
+
+    def run(d):
+        return sorted(
+            (r["doc_id"], r["n_tokens"], r["sum_u"], r["mean_u"])
+            for r in surprisal_scores(d, unigram_surprisals(d)).collect()
+        )
+
+    assert run(docs.repartition(1)) == run(docs.repartition(7))
