@@ -375,6 +375,44 @@ def _sync_scm_fixture(A, sf_dir: str) -> None:
     save_scm(A, path)
 
 
+FS_FIXTURE = f"{FIXTURES_DIR}/fs_sf001.parquet"  # sf0.01 — the committed one
+
+
+def _fs_fixture_path(sf_dir: str) -> str:
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return FS_FIXTURE if base == "sf0.01" else f"{FIXTURES_DIR}/fs_{base}.parquet"
+
+
+def _sync_fs_fixture(params: dict, sf_dir: str) -> None:
+    """Persist EM-trained F-S micro-ban weights iff they changed.
+
+    The oracle SQL recomputes pair scores FROM this dump (the scoring
+    math is checked, not just reproduced — same contract as the SCM
+    fixture). EM is deterministic (fixed init/iters, sorted pattern
+    table), so the committed fixture normally matches byte-for-byte.
+    """
+    import os
+
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "field": params["fields"],
+            "agree_w": [int(a) for a, _ in params["weights_u"]],
+            "disagree_w": [int(d) for _, d in params["weights_u"]],
+        }
+    )
+    path = _fs_fixture_path(sf_dir)
+    os.makedirs(FIXTURES_DIR, exist_ok=True)
+    if os.path.exists(path):
+        try:
+            if pd.read_parquet(path).equals(rows):
+                return
+        except Exception:
+            pass
+    rows.to_parquet(path, index=False)
+
+
 # ---------------------------------------------------------------------------
 # SQL oracle building blocks
 # ---------------------------------------------------------------------------
@@ -1109,6 +1147,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bucket",
         )
 
+    def pprl_fs_scored(spark, sf_dir):
+        # Fellegi-Sunter probabilistic weighting (Splink-style) over the
+        # blocked candidate pairs: per-field 0/1 agreements (lang,
+        # source, Bloom-sim >= 0.5, 128-char length bucket), EM over the
+        # <=16-row aggregated pattern table on the driver (pairs never
+        # leave the cluster), integer micro-ban weights dumped to the
+        # committed fixture (the oracle re-scores FROM the dump), then a
+        # literal CASE projection sums exact integer evidence per pair.
+        from pprl_spark.operators.fellegi_sunter import (
+            agreement_vectors,
+            fs_score,
+            fs_train,
+        )
+
+        attrs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "source",
+            F.expr("n_chars div 128").alias("lb"),
+        )
+        pairs = (
+            _scored_pairs(spark, sf_dir)
+            .join(
+                attrs.select(
+                    F.col("doc_id").alias("id1"),
+                    F.col("lang").alias("lang1"),
+                    F.col("source").alias("source1"),
+                    F.col("lb").alias("lb1"),
+                ),
+                "id1",
+            )
+            .join(
+                attrs.select(
+                    F.col("doc_id").alias("id2"),
+                    F.col("lang").alias("lang2"),
+                    F.col("source").alias("source2"),
+                    F.col("lb").alias("lb2"),
+                ),
+                "id2",
+            )
+        )
+        fields = ["lang", "source", "sim", "len"]
+        gamma = agreement_vectors(
+            pairs,
+            {
+                "lang": F.col("lang1") == F.col("lang2"),
+                "source": F.col("source1") == F.col("source2"),
+                "sim": F.col("sim") >= 0.5,
+                "len": F.col("lb1") == F.col("lb2"),
+            },
+        ).localCheckpoint()  # EM aggregation + scoring share one build
+        params = fs_train(gamma, fields, iters=50)
+        _sync_fs_fixture(params, sf_dir)
+        out = fs_score(gamma, fields, params["weights_u"])
+        return out.select(
+            F.col("id1").cast("long"),
+            F.col("id2").cast("long"),
+            F.col("g_lang").cast("long").alias("g_lang"),
+            F.col("g_source").cast("long").alias("g_source"),
+            F.col("g_sim").cast("long").alias("g_sim"),
+            F.col("g_len").cast("long").alias("g_len"),
+            "score_u",
+        )
+
     def ann_topk(spark, sf_dir):
         emb = _embeddings(spark, sf_dir)
         queries_df = emb.where(F.col("vec_id") < 10).select(
@@ -1469,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_blocklist": text_blocklist,
         "text_tfidf": text_tfidf,
         "text_surprisal": text_surprisal,
+        "pprl_fs_scored": pprl_fs_scored,
         "spans_roundtrip": spans_roundtrip,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
@@ -2196,9 +2299,52 @@ SELECT doc_id, n_tokens, sum_u, mean_u,
 FROM m CROSS JOIN q
 """
 
+    # Fellegi-Sunter twin: recomputes the four agreement indicators from
+    # the same blocked-pair CTE the pair oracle uses, then RE-SCORES from
+    # the committed EM weight fixture (integer micro-bans -> exact
+    # integer sums; the fixture checks the scoring math like the SCM
+    # dump, while EM itself is pinned by pytest parameter-recovery tests)
+    fs_scored_sql = (
+        SQL_PAIRS
+        + f"""
+, attrs AS (
+  SELECT doc_id::BIGINT AS doc_id, lang, source, n_chars // 128 AS lb
+  FROM documents
+),
+g AS (
+  SELECT id1, id2,
+         CASE WHEN a1.lang = a2.lang THEN 1 ELSE 0 END AS g_lang,
+         CASE WHEN a1.source = a2.source THEN 1 ELSE 0 END AS g_source,
+         CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END AS g_sim,
+         CASE WHEN a1.lb = a2.lb THEN 1 ELSE 0 END AS g_len
+  FROM pairs
+  JOIN attrs a1 ON pairs.id1 = a1.doc_id
+  JOIN attrs a2 ON pairs.id2 = a2.doc_id
+),
+w AS (SELECT * FROM read_parquet('{FS_FIXTURE}'))
+SELECT id1, id2, g_lang::BIGINT AS g_lang, g_source::BIGINT AS g_source,
+       g_sim::BIGINT AS g_sim, g_len::BIGINT AS g_len,
+       (  CASE WHEN g_lang = 1
+               THEN (SELECT agree_w FROM w WHERE field = 'lang')
+               ELSE (SELECT disagree_w FROM w WHERE field = 'lang') END
+        + CASE WHEN g_source = 1
+               THEN (SELECT agree_w FROM w WHERE field = 'source')
+               ELSE (SELECT disagree_w FROM w WHERE field = 'source') END
+        + CASE WHEN g_sim = 1
+               THEN (SELECT agree_w FROM w WHERE field = 'sim')
+               ELSE (SELECT disagree_w FROM w WHERE field = 'sim') END
+        + CASE WHEN g_len = 1
+               THEN (SELECT agree_w FROM w WHERE field = 'len')
+               ELSE (SELECT disagree_w FROM w WHERE field = 'len') END
+       )::BIGINT AS score_u
+FROM g
+"""
+    )
+
     return {
         "vocab_topk": vocab_topk_sql,
         "text_surprisal": text_surprisal_sql,
+        "pprl_fs_scored": fs_scored_sql,
         "text_decontaminate": text_decontaminate_sql,
         "text_blocklist": text_blocklist_sql,
         "text_tfidf": text_tfidf_sql,

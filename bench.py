@@ -126,6 +126,9 @@ def main() -> None:
         "text_quality_trim": lambda s: q["text_quality_trim"](s, SF_DIR).count(),
         # CCNet-style unigram-surprisal scoring + head/middle/tail split
         "text_surprisal": lambda s: q["text_surprisal"](s, SF_DIR).count(),
+        # Fellegi-Sunter EM weighting over blocked pairs (pattern-table
+        # EM on the driver, literal CASE scoring)
+        "fs_scored": lambda s: q["pprl_fs_scored"](s, SF_DIR).count(),
     }
 
     # EVERY query records a median of N_RUNS genuine samples: this host's
