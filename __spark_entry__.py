@@ -1147,6 +1147,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bucket",
         )
 
+    def text_pii_scrub(spark, sf_dir):
+        # PII redaction pass (emails / IPv4 / phone surface forms). The
+        # synthetic corpus is PII-free by construction, so deterministic
+        # PII is injected from doc_id arithmetic — identically in the
+        # oracle — making hit counts and scrubbing non-trivial. Counting
+        # and redaction are codegen'd regex expressions: zero shuffle,
+        # zero join, zero Python.
+        from pprl_spark.functions.text import pii_counts, scrub_pii
+
+        d = F.col("doc_id")
+        aug = _docs(spark, sf_dir).select(
+            d.cast("long").alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.when(
+                    d % 7 == 0,
+                    F.concat(F.lit(" mail u"), d.cast("string"), F.lit("@ex.org")),
+                ).otherwise(F.lit("")),
+                F.when(
+                    d % 11 == 0,
+                    F.concat(
+                        F.lit(" ip 10."),
+                        (d % 256).cast("string"),
+                        F.lit(".0."),
+                        (d % 100).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    d % 13 == 0,
+                    F.concat(
+                        F.lit(" tel 555-123-"),
+                        F.lpad((d % 10000).cast("string"), 4, "0"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        names = ["n_email", "n_ipv4", "n_phone"]
+        return aug.select(
+            "doc_id",
+            *[c.cast("long").alias(n) for c, n in zip(pii_counts("text"), names)],
+            scrub_pii("text").alias("scrubbed"),
+        )
+
     def pprl_fs_scored(spark, sf_dir):
         # Fellegi-Sunter probabilistic weighting (Splink-style) over the
         # blocked candidate pairs: per-field 0/1 agreements (lang,
@@ -1572,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": text_tfidf,
         "text_surprisal": text_surprisal,
         "pprl_fs_scored": pprl_fs_scored,
+        "text_pii_scrub": text_pii_scrub,
         "spans_roundtrip": spans_roundtrip,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
@@ -2341,10 +2385,45 @@ FROM g
 """
     )
 
+    # PII scrub twin: identical deterministic injection from doc_id
+    # arithmetic, patterns shared verbatim with the Spark side
+    # (PII_PATTERNS — ASCII-only syntax Java regex and RE2 agree on),
+    # counts on the original text, sequential global replaces in the
+    # same fixed order.
+    from pprl_spark.functions.text import PII_PATTERNS as _PII
+
+    _scrub_expr = "lower(t)"
+    for _, _pat, _tok in _PII:
+        _scrub_expr = f"regexp_replace({_scrub_expr}, '{_pat}', '{_tok}', 'g')"
+    _count_cols = ",\n       ".join(
+        f"len(regexp_extract_all(lower(t), '{_pat}'))::BIGINT AS n_{_name}"
+        for _name, _pat, _ in _PII
+    )
+    text_pii_scrub_sql = f"""
+WITH aug AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' mail u' || doc_id::VARCHAR || '@ex.org' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                      || (doc_id % 100)::VARCHAR ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' tel 555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       {_count_cols},
+       {_scrub_expr} AS scrubbed
+FROM aug
+"""
+
     return {
         "vocab_topk": vocab_topk_sql,
         "text_surprisal": text_surprisal_sql,
         "pprl_fs_scored": fs_scored_sql,
+        "text_pii_scrub": text_pii_scrub_sql,
         "text_decontaminate": text_decontaminate_sql,
         "text_blocklist": text_blocklist_sql,
         "text_tfidf": text_tfidf_sql,

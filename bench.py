@@ -129,6 +129,8 @@ def main() -> None:
         # Fellegi-Sunter EM weighting over blocked pairs (pattern-table
         # EM on the driver, literal CASE scoring)
         "fs_scored": lambda s: q["pprl_fs_scored"](s, SF_DIR).count(),
+        # PII redaction pass (codegen'd regex count + sequential scrub)
+        "text_pii_scrub": lambda s: q["text_pii_scrub"](s, SF_DIR).count(),
     }
 
     # EVERY query records a median of N_RUNS genuine samples: this host's

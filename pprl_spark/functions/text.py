@@ -317,3 +317,45 @@ def scrub_blocklist(
         ),
         " ",
     )
+
+
+# PII surface patterns, restricted to syntax Java regex (Spark) and RE2
+# (DuckDB oracle) interpret identically: ASCII classes, bounded repeats,
+# \b word boundaries — no lookaround, no backrefs. Applied to lower(text);
+# replacement tokens contain no digits/@ so sequential scrubbing never
+# cascades into later patterns.
+PII_PATTERNS = (
+    ("email", r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+)
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """Per-pattern non-overlapping match counts (email, ipv4, phone).
+
+    Counted on the ORIGINAL text (before any scrubbing), codegen'd
+    ``regexp_count`` — zero shuffle, zero Python. SQL twin:
+    ``len(regexp_extract_all(lower(text), pattern))``.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(c)
+    return [
+        F.regexp_count(low, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact PII surface forms -> '[EMAIL]' / '[IP]' / '[PHONE]'.
+
+    Fixed application order (email, ipv4, phone) on lowercased text; the
+    order is part of the contract — both engines rewrite the same
+    intermediate strings. SQL twin: nested
+    ``regexp_replace(..., pattern, token, 'g')`` in the same order.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.lower(c)
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -332,3 +332,45 @@ def test_surprisal_partitioning_independent(spark, docs):
         )
 
     assert run(docs.repartition(1)) == run(docs.repartition(7))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_pii_counts_and_scrub_golden(spark):
+    from pprl_spark.functions.text import pii_counts, scrub_pii
+
+    rows = [
+        (1, "Mail Bob.Smith+x@Corp.Example NOW"),
+        (2, "srv 10.0.0.1 and 192.168.1.255 up"),
+        (3, "call 555-123-4567 or 555.987.6543"),
+        (4, "no pii here 1234 5678"),
+        (5, "a@b.co at 8.8.8.8 tel 123-456-7890"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *pii_counts("text"), scrub_pii("text").alias("s")
+        ).collect()
+    }
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 0, 0)
+    assert got[1]["s"] == "mail [EMAIL] now"
+    assert got[2]["n_ipv4"] == 2 and got[2]["s"] == "srv [IP] and [IP] up"
+    assert got[3]["n_phone"] == 2
+    assert got[3]["s"] == "call [PHONE] or [PHONE]"
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (0, 0, 0)
+    assert got[5]["s"] == "[EMAIL] at [IP] tel [PHONE]"
+
+
+def test_pii_scrub_plan_no_exchange(spark):
+    from pprl_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("x a@b.co y").alias("text")
+    )
+    out = df.select("doc_id", *pii_counts("text"), scrub_pii("text").alias("s"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
