@@ -1147,6 +1147,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bucket",
         )
 
+    def events_asof(spark, sf_dir):
+        # point-in-time join: for every 'view' event, the latest 'error'
+        # event of the same user at-or-before it. Spark has no native
+        # as-of join; the operator is the tagged-union + carry-forward
+        # window composition (one exchange, one sort — never a per-key
+        # range product). Oracle: DuckDB's native ASOF LEFT JOIN over a
+        # right side pre-deduplicated to max(event_id) per (user, ts)
+        # (the operator's documented tie rule).
+        from pprl_spark.operators.events import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        left = ev.where(F.col("event_type") == "view").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        right = ev.where(F.col("event_type") == "error").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        out = asof_join(left, right, payload_cols=("event_id", "ts", "value"))
+        # no-match rows surface as typed sentinels (not nulls): the
+        # driver's row comparator sorts rows and None is unorderable
+        return out.select(
+            F.col("event_id").cast("long"),
+            F.col("user_id").cast("long"),
+            "ts",
+            "value",
+            F.coalesce(F.col("asof_event_id"), F.lit(-1)).cast("long").alias("asof_event_id"),
+            F.coalesce(
+                F.col("asof_ts"), F.lit("1970-01-01 00:00:00").cast("timestamp")
+            ).alias("asof_ts"),
+            F.coalesce(F.col("asof_value"), F.lit(-1.0)).alias("asof_value"),
+        )
+
     def text_pii_scrub(spark, sf_dir):
         # PII redaction pass (emails / IPv4 / phone surface forms). The
         # synthetic corpus is PII-free by construction, so deterministic
@@ -1616,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal": text_surprisal,
         "pprl_fs_scored": pprl_fs_scored,
         "text_pii_scrub": text_pii_scrub,
+        "events_asof": events_asof,
         "spans_roundtrip": spans_roundtrip,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
@@ -2419,11 +2452,32 @@ SELECT doc_id,
 FROM aug
 """
 
+    # as-of join twin: DuckDB's native ASOF LEFT JOIN; the right side is
+    # pre-deduplicated to max(event_id) per (user, ts) — the Spark
+    # operator's documented tie rule — so both engines pick the same row
+    # when several right events share a timestamp.
+    events_asof_sql = r"""
+WITH r AS (
+  SELECT user_id, ts, event_id, value
+  FROM events WHERE event_type = 'error'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+),
+l AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'view'
+)
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       coalesce(r.event_id, -1) AS asof_event_id,
+       coalesce(r.ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
+       coalesce(r.value, -1.0) AS asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
     return {
         "vocab_topk": vocab_topk_sql,
         "text_surprisal": text_surprisal_sql,
         "pprl_fs_scored": fs_scored_sql,
         "text_pii_scrub": text_pii_scrub_sql,
+        "events_asof": events_asof_sql,
         "text_decontaminate": text_decontaminate_sql,
         "text_blocklist": text_blocklist_sql,
         "text_tfidf": text_tfidf_sql,

@@ -131,6 +131,8 @@ def main() -> None:
         "fs_scored": lambda s: q["pprl_fs_scored"](s, SF_DIR).count(),
         # PII redaction pass (codegen'd regex count + sequential scrub)
         "text_pii_scrub": lambda s: q["text_pii_scrub"](s, SF_DIR).count(),
+        # as-of join (tagged-union carry-forward window, one exchange)
+        "events_asof": lambda s: q["events_asof"](s, SF_DIR).count(),
     }
 
     # EVERY query records a median of N_RUNS genuine samples: this host's

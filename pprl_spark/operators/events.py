@@ -123,3 +123,71 @@ def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("event_type", "user_id", "n_events", "rank")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: tuple[str, ...] = ("event_id", "ts", "value"),
+    order_col: str = "event_id",
+    strict: bool = False,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Point-in-time (as-of) left join: for every left row, the latest
+    right row with ``right.ts <= left.ts`` (``<`` when ``strict``) and
+    the same ``on`` key; null payload when no such row exists.
+
+    Spark has no native as-of join (pandas ``merge_asof`` is
+    single-node), and the naive range join is quadratic per key. This is
+    the scale-correct composition: tag the two sides, union, and run ONE
+    carry-forward window — ``last(payload, ignorenulls=True)`` over
+    (key) ordered by (ts, side, order_col) — then keep the left rows.
+    Exactly one exchange (hash by key) and one sort; cost is that of any
+    per-key window regardless of how many right rows precede each left
+    row. Skew: a hot key serializes its own sort only — same bound as
+    sessionization; salt upstream if a single key exceeds a partition.
+
+    Tie semantics are part of the contract: at equal ``ts`` the right
+    row is visible iff not ``strict`` (side tag orders right before/after
+    left), and among right rows sharing (key, ts) the one with the
+    largest ``order_col`` wins — deterministic, and reproducible in
+    engines with native ASOF (DuckDB) by pre-deduplicating the right
+    side to max(``order_col``) per (key, ts).
+    """
+    r_side = 0 if not strict else 2
+    payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(r_side).alias("_side"),
+        F.col(order_col).cast("long").alias("_ord"),
+        payload.alias("_payload"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_lrow"),
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_ord"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.struct(*left.columns).alias("_lrow"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        r.unionByName(l)
+        .withColumn("_carry", F.last("_payload", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"_carry.{c}").alias(f"{prefix}{c}") for c in payload_cols
+    ]
+    return carried.select(*out_cols)
