@@ -1179,6 +1179,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("asof_value"), F.lit(-1.0)).alias("asof_value"),
         )
 
+    def corpus_rollup(spark, sf_dir):
+        # corpus composition report: docs/tokens/chars per (lang, source)
+        # + per-lang subtotals + grand total, all grouping-set levels in
+        # one map-side-combined pass (the shuffle carries group rows,
+        # never the corpus)
+        from pprl_spark.operators.corpus import corpus_rollup as _cr
+
+        out = _cr(_docs(spark, sf_dir))
+        return out.select(
+            "lang_g",
+            "source_g",
+            F.col("gid").cast("long").alias("gid"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+
     def text_pii_scrub(spark, sf_dir):
         # PII redaction pass (emails / IPv4 / phone surface forms). The
         # synthetic corpus is PII-free by construction, so deterministic
@@ -1649,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_fs_scored": pprl_fs_scored,
         "text_pii_scrub": text_pii_scrub,
         "events_asof": events_asof,
+        "corpus_rollup": corpus_rollup,
         "spans_roundtrip": spans_roundtrip,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
@@ -2472,12 +2490,28 @@ SELECT l.event_id, l.user_id, l.ts, l.value,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+    # rollup twin: same three grouping-set levels; n_tokens/n_chars are
+    # computed from text in both engines (not the stored n_chars column,
+    # which counts pre-normalization characters)
+    corpus_rollup_sql = r"""
+SELECT CASE WHEN grouping(lang) = 1 THEN '<all>' ELSE lang END AS lang_g,
+       CASE WHEN grouping(source) = 1 THEN '<all>' ELSE source END AS source_g,
+       (grouping(lang) * 2 + grouping(source))::BIGINT AS gid,
+       count(*)::BIGINT AS n_docs,
+       sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x <> '')))::BIGINT AS n_tokens,
+       sum(length(text))::BIGINT AS n_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
     return {
         "vocab_topk": vocab_topk_sql,
         "text_surprisal": text_surprisal_sql,
         "pprl_fs_scored": fs_scored_sql,
         "text_pii_scrub": text_pii_scrub_sql,
         "events_asof": events_asof_sql,
+        "corpus_rollup": corpus_rollup_sql,
         "text_decontaminate": text_decontaminate_sql,
         "text_blocklist": text_blocklist_sql,
         "text_tfidf": text_tfidf_sql,

@@ -133,6 +133,8 @@ def main() -> None:
         "text_pii_scrub": lambda s: q["text_pii_scrub"](s, SF_DIR).count(),
         # as-of join (tagged-union carry-forward window, one exchange)
         "events_asof": lambda s: q["events_asof"](s, SF_DIR).count(),
+        # grouping-set composition report (one Expand + one exchange)
+        "corpus_rollup": lambda s: q["corpus_rollup"](s, SF_DIR).count(),
     }
 
     # EVERY query records a median of N_RUNS genuine samples: this host's

@@ -348,3 +348,39 @@ def perplexity_buckets(
         )
         .drop("_lo", "_hi")
     )
+
+
+def corpus_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus composition report: docs / tokens / chars per (lang,
+    source) with ROLLUP margins -> per-pair rows, per-lang subtotals,
+    and a grand total, disambiguated by ``gid`` (``grouping_id``).
+
+    The report every corpus release ships (tokens per language per
+    source). ROLLUP computes all three levels in ONE map-side-combined
+    aggregation pass — Spark expands the grouping sets before the
+    exchange, so the shuffle carries ≤ (|lang|·|source| + |lang| + 1)
+    rows per map partition, never the corpus. Group keys are
+    sentinel-substituted ('<all>') on the rolled-up levels so the output
+    is null-free (margin rows stay distinguishable via ``gid``).
+    """
+    n_toks = F.size(words_col(text_col))
+    agg = docs.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_toks).alias("n_tokens"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        (F.grouping("lang") * 2 + F.grouping("source")).alias("gid"),
+    )
+    # grouping() is only valid inside the agg; margin sentinels derive
+    # from the gid bits afterwards (bit 1 = lang rolled, bit 0 = source)
+    return agg.select(
+        F.when(F.col("gid").bitwiseAND(2) != 0, F.lit("<all>"))
+        .otherwise(F.col("lang"))
+        .alias("lang_g"),
+        F.when(F.col("gid").bitwiseAND(1) != 0, F.lit("<all>"))
+        .otherwise(F.col("source"))
+        .alias("source_g"),
+        "gid",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+    )

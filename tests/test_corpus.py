@@ -374,3 +374,32 @@ def test_pii_scrub_plan_no_exchange(spark):
     out = df.select("doc_id", *pii_counts("text"), scrub_pii("text").alias("s"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_corpus_rollup_levels_consistent(spark, docs):
+    from pprl_spark.operators.corpus import corpus_rollup
+
+    d = docs.withColumn("lang", F.when(F.col("doc_id") <= 2, "en").otherwise("fr")) \
+            .withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 2).cast("string")))
+    rows = corpus_rollup(d).collect()
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1 and total[0]["n_docs"] == 5
+    assert total[0]["lang_g"] == "<all>" and total[0]["source_g"] == "<all>"
+    # per-lang subtotals sum to the grand total at every measure
+    lang_rows = [r for r in rows if r["gid"] == 1]
+    for m in ("n_docs", "n_tokens", "n_chars"):
+        assert sum(r[m] for r in lang_rows) == total[0][m]
+    # leaf level sums to each lang subtotal
+    for lr in lang_rows:
+        leaves = [r for r in rows if r["gid"] == 0 and r["lang_g"] == lr["lang_g"]]
+        assert sum(r["n_docs"] for r in leaves) == lr["n_docs"]
+
+
+def test_corpus_rollup_single_exchange(spark, docs):
+    from pprl_spark.operators.corpus import corpus_rollup
+
+    d = docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s0"))
+    plan = corpus_rollup(d)._jdf.queryExecution().executedPlan().toString()
+    # one Expand + one exchange: all grouping-set levels share a pass
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" in plan
