@@ -1179,6 +1179,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("asof_value"), F.lit(-1.0)).alias("asof_value"),
         )
 
+    def events_range_join(spark, sf_dir):
+        # interval join: every (view, error) pair of the same user within
+        # +-6 hours. Bin-bucketed rewrite: the equi-join runs on
+        # (user, time-bin) so fan-out is bounded by bin occupancy, never
+        # the per-key product the naive range filter materializes.
+        from pprl_spark.operators.events import range_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        l = ev.where(F.col("event_type") == "view").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        r = ev.where(F.col("event_type") == "error").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        W = 21_600_000_000  # 6h in microseconds
+        out = range_join(l, r, lower_us=-W, upper_us=W)
+        return out.select(
+            F.col("event_id").cast("long"),
+            F.col("user_id").cast("long"),
+            "ts",
+            F.col("r_event_id").cast("long").alias("r_event_id"),
+            "r_ts",
+            "r_value",
+            F.col("delta_us").cast("long").alias("delta_us"),
+        )
+
     def corpus_rollup(spark, sf_dir):
         # corpus composition report: docs/tokens/chars per (lang, source)
         # + per-lang subtotals + grand total, all grouping-set levels in
@@ -1666,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_fs_scored": pprl_fs_scored,
         "text_pii_scrub": text_pii_scrub,
         "events_asof": events_asof,
+        "events_range_join": events_range_join,
         "corpus_rollup": corpus_rollup,
         "spans_roundtrip": spans_roundtrip,
         "text_stats": text_stats,
@@ -2490,6 +2517,18 @@ SELECT l.event_id, l.user_id, l.ts, l.value,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+    # range-join twin: the declarative BETWEEN form (DuckDB plans its
+    # own IEJoin); delta in exact integer microseconds both sides
+    events_range_join_sql = r"""
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS r_event_id, r.ts AS r_ts, r.value AS r_value,
+       (epoch_us(r.ts) - epoch_us(l.ts))::BIGINT AS delta_us
+FROM (SELECT * FROM events WHERE event_type = 'view') l
+JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id
+ AND r.ts BETWEEN l.ts - INTERVAL 6 HOUR AND l.ts + INTERVAL 6 HOUR
+"""
+
     # rollup twin: same three grouping-set levels; n_tokens/n_chars are
     # computed from text in both engines (not the stored n_chars column,
     # which counts pre-normalization characters)
@@ -2511,6 +2550,7 @@ GROUP BY ROLLUP (lang, source)
         "pprl_fs_scored": fs_scored_sql,
         "text_pii_scrub": text_pii_scrub_sql,
         "events_asof": events_asof_sql,
+        "events_range_join": events_range_join_sql,
         "corpus_rollup": corpus_rollup_sql,
         "text_decontaminate": text_decontaminate_sql,
         "text_blocklist": text_blocklist_sql,

@@ -135,6 +135,8 @@ def main() -> None:
         "events_asof": lambda s: q["events_asof"](s, SF_DIR).count(),
         # grouping-set composition report (one Expand + one exchange)
         "corpus_rollup": lambda s: q["corpus_rollup"](s, SF_DIR).count(),
+        # bin-bucketed interval join (fan-out bounded by bin occupancy)
+        "events_range_join": lambda s: q["events_range_join"](s, SF_DIR).count(),
     }
 
     # EVERY query records a median of N_RUNS genuine samples: this host's

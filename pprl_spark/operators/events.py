@@ -191,3 +191,69 @@ def asof_join(
         F.col(f"_carry.{c}").alias(f"{prefix}{c}") for c in payload_cols
     ]
     return carried.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    lower_us: int = -3_600_000_000,
+    upper_us: int = 3_600_000_000,
+    payload_cols: tuple[str, ...] = ("event_id", "ts", "value"),
+    prefix: str = "r_",
+) -> DataFrame:
+    """Interval join: all right rows with the same key whose timestamp
+    falls in ``[left.ts + lower_us, left.ts + upper_us]`` (microseconds).
+
+    The naive plan — equi-join on key, filter the range — materializes
+    the full per-key product before filtering: a hot key with n left ×
+    m right rows costs n·m regardless of how narrow the window is.
+    This operator uses the standard bin-bucketing rewrite: right rows
+    land in ONE time bin of width (upper-lower), left rows replicate to
+    the ≤2 bins their window can touch, and the equi-join runs on
+    (key, bin) — so join fan-out is bounded by actual bin occupancy,
+    i.e. by rows per key per window-width, not rows per key. The exact
+    BETWEEN predicate filters bin-edge false positives after the join.
+
+    TIMESTAMP_NTZ columns are cast to session-zone TIMESTAMP for the
+    epoch arithmetic; a constant zone offset shifts every bin uniformly
+    and cancels in the BETWEEN predicate and delta_us, so the joined
+    pair set is zone-independent.
+
+    Bins use integer floor-division on epoch microseconds (``div`` —
+    exact; truncation == floor because epochs here are positive), so
+    binning is engine-reproducible. Requires ``upper_us > lower_us``
+    and non-negative event epochs.
+    """
+    if upper_us <= lower_us:
+        raise ValueError(f"empty window: [{lower_us}, {upper_us}]")
+    width = upper_us - lower_us
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("_rus"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {width}").alias("_bin"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
+    )
+    l_cols = [F.col(c) for c in left.columns]
+    l = left.select(
+        *l_cols,
+        F.col(on).alias("_k"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("_lus"),
+        F.explode(
+            F.sequence(
+                F.expr(f"(unix_micros(cast({ts_col} as timestamp)) + ({lower_us})) div {width}"),
+                F.expr(f"(unix_micros(cast({ts_col} as timestamp)) + ({upper_us})) div {width}"),
+            )
+        ).alias("_bin"),
+    )
+    out = (
+        l.join(r, ["_k", "_bin"])
+        .where(
+            (F.col("_rus") >= F.col("_lus") + F.lit(lower_us))
+            & (F.col("_rus") <= F.col("_lus") + F.lit(upper_us))
+        )
+        .withColumn("delta_us", F.col("_rus") - F.col("_lus"))
+    )
+    keep = [c for c in left.columns] + [f"{prefix}{c}" for c in payload_cols] + ["delta_us"]
+    return out.select(*keep)

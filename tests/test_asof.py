@@ -67,3 +67,64 @@ def test_asof_partitioning_independent(spark, frames):
         )
 
     assert run(1, 1) == run(7, 3)
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_equals_naive(spark):
+    """Bin-bucketed plan == naive equi-join + range filter, incl. edges."""
+    import random
+
+    from pprl_spark.operators.events import range_join
+
+    rng = random.Random(7)
+    W = 1_000_000  # 1s window
+    rows = [
+        (i, _ts(rng.randrange(0, 50)), rng.randrange(1, 4), float(i))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    l = df.where(F.col("event_id") % 2 == 0)
+    r = df.where(F.col("event_id") % 2 == 1)
+    got = sorted(
+        (x["event_id"], x["r_event_id"], x["delta_us"])
+        for x in range_join(l, r, lower_us=-W, upper_us=W).collect()
+    )
+    naive = sorted(
+        (a, b, (tb - ta) * 1_000_000)
+        for (a, ta, ua, _) in [(x[0], int(x[1].timestamp()), x[2], x[3]) for x in rows if x[0] % 2 == 0]
+        for (b, tb, ub, _) in [(x[0], int(x[1].timestamp()), x[2], x[3]) for x in rows if x[0] % 2 == 1]
+        if ua == ub and abs(tb - ta) * 1_000_000 <= W
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_range_join_asymmetric_window(spark):
+    from pprl_spark.operators.events import range_join
+
+    l = spark.createDataFrame(
+        [(1, _ts(100), 1, 0.0)], "event_id long, ts timestamp, user_id long, value double"
+    )
+    r = spark.createDataFrame(
+        [(10, _ts(95), 1, 0.0), (11, _ts(105), 1, 0.0), (12, _ts(99), 1, 0.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    # only look BACK 2s: [ts-2s, ts]
+    got = {x["r_event_id"] for x in
+           range_join(l, r, lower_us=-2_000_000, upper_us=0).collect()}
+    assert got == {12}
+
+
+def test_range_join_no_cartesian(spark):
+    from pprl_spark.operators.events import range_join
+
+    l = spark.createDataFrame(
+        [(1, _ts(0), 1, 0.0)], "event_id long, ts timestamp, user_id long, value double"
+    )
+    plan = range_join(l, l)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
