@@ -1179,6 +1179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("asof_value"), F.lit(-1.0)).alias("asof_value"),
         )
 
+    def pprl_block_stats(spark, sf_dir):
+        # pre-flight blocking diagnostics: top-20 LSH blocks by size +
+        # the global (entries, candidate-pairs, n_blocks) summary row —
+        # the numbers that decide cap_blocks/salting before a pair join
+        from pprl_spark.operators.blocking import blocking_stats
+
+        return blocking_stats(_blocked(spark, sf_dir), k=20)
+
     def events_range_join(spark, sf_dir):
         # interval join: every (view, error) pair of the same user within
         # +-6 hours. Bin-bucketed rewrite: the equi-join runs on
@@ -1693,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "events_asof": events_asof,
         "events_range_join": events_range_join,
+        "pprl_block_stats": pprl_block_stats,
         "corpus_rollup": corpus_rollup,
         "spans_roundtrip": spans_roundtrip,
         "text_stats": text_stats,
@@ -2517,6 +2526,27 @@ SELECT l.event_id, l.user_id, l.ts, l.value,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+    # blocking-diagnostics twin over the shared blocks CTE
+    block_stats_sql = (
+        SQL_BLOCKS
+        + """
+, sizes AS (SELECT block_key, count(*)::BIGINT AS size FROM blocks GROUP BY block_key),
+top AS (
+  SELECT block_key, size, ((size * (size - 1)) // 2)::BIGINT AS pairs,
+         (-1)::BIGINT AS n_blocks,
+         row_number() OVER (ORDER BY size DESC, block_key)::BIGINT AS rank
+  FROM sizes ORDER BY size DESC, block_key LIMIT 20
+),
+tot AS (
+  SELECT '<all>' AS block_key, sum(size)::BIGINT AS size,
+         sum((size * (size - 1)) // 2)::BIGINT AS pairs,
+         count(*)::BIGINT AS n_blocks, 0::BIGINT AS rank
+  FROM sizes
+)
+SELECT * FROM top UNION ALL SELECT * FROM tot
+"""
+    )
+
     # range-join twin: the declarative BETWEEN form (DuckDB plans its
     # own IEJoin); delta in exact integer microseconds both sides
     events_range_join_sql = r"""
@@ -2551,6 +2581,7 @@ GROUP BY ROLLUP (lang, source)
         "text_pii_scrub": text_pii_scrub_sql,
         "events_asof": events_asof_sql,
         "events_range_join": events_range_join_sql,
+        "pprl_block_stats": block_stats_sql,
         "corpus_rollup": corpus_rollup_sql,
         "text_decontaminate": text_decontaminate_sql,
         "text_blocklist": text_blocklist_sql,

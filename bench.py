@@ -137,6 +137,8 @@ def main() -> None:
         "corpus_rollup": lambda s: q["corpus_rollup"](s, SF_DIR).count(),
         # bin-bucketed interval join (fan-out bounded by bin occupancy)
         "events_range_join": lambda s: q["events_range_join"](s, SF_DIR).count(),
+        # blocking skew diagnostics (heap top-k + 1-row global summary)
+        "block_stats": lambda s: q["pprl_block_stats"](s, SF_DIR).count(),
     }
 
     # EVERY query records a median of N_RUNS genuine samples: this host's

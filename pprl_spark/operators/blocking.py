@@ -23,7 +23,7 @@ residual imbalance at runtime.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pprl_spark.config import EmbedderConfig
@@ -173,4 +173,60 @@ def explode_blocks(
         *cols,
         F.size("bf_indices").alias("bf_n"),
         F.explode("block_keys").alias("block_key"),
+    )
+
+
+def blocking_stats(
+    blocks: DataFrame, key_col: str = "block_key", k: int = 20
+) -> DataFrame:
+    """Pre-flight skew/quality report for a blocked pair join ->
+    top-``k`` blocks by size (rank 1..k) plus one ``'<all>'`` summary
+    row (rank 0) carrying the global counts.
+
+    Columns: (block_key, size, pairs, n_blocks, rank) where ``pairs`` =
+    size·(size-1)/2 — the within-block candidate count, whose global sum
+    is THE number that decides whether the pair join is launchable (the
+    100 TB question is never "how many rows" but "how many pairs", and
+    one celebrity block dominates the sum). Reading this before
+    ``generate_candidates`` is how a production run picks ``cap_blocks``
+    / salting; the engine's cap defaults exist because these numbers are
+    routinely pathological (sf0.1's densest block alone contributes
+    millions of pairs).
+
+    Shape: one map-side-combined groupBy over (key) rows; the top-k is
+    ``TakeOrderedAndProject`` (per-partition heap, k-row driver merge);
+    the global row is a 1-row aggregate — no global sort anywhere.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    sizes = blocks.groupBy(F.col(key_col).alias("block_key")).agg(
+        F.count("*").alias("size")
+    )
+    pairs = (F.col("size") * (F.col("size") - 1) / 2).cast("long")
+    top = (
+        sizes.orderBy(F.desc("size"), F.asc("block_key"))
+        .limit(k)
+        .select("block_key", "size", pairs.alias("pairs"), F.lit(1).alias("_one"))
+    )
+    w = Window.orderBy(F.desc("size"), F.asc("block_key"))
+    top = top.withColumn("rank", F.row_number().over(w)).drop("_one")
+    total = sizes.agg(
+        F.sum("size").alias("size"),
+        F.sum(pairs).alias("pairs"),
+        F.count("*").alias("n_blocks"),
+    ).select(
+        F.lit("<all>").alias("block_key"),
+        "size",
+        "pairs",
+        "n_blocks",
+        F.lit(0).alias("rank"),
+    )
+    return top.withColumn("n_blocks", F.lit(None).cast("long")).unionByName(
+        total
+    ).select(
+        "block_key",
+        F.col("size").cast("long").alias("size"),
+        F.col("pairs").cast("long").alias("pairs"),
+        F.coalesce(F.col("n_blocks"), F.lit(-1)).cast("long").alias("n_blocks"),
+        F.col("rank").cast("long").alias("rank"),
     )

@@ -403,3 +403,29 @@ def test_corpus_rollup_single_exchange(spark, docs):
     # one Expand + one exchange: all grouping-set levels share a pass
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Expand" in plan
+
+
+def test_blocking_stats_topk_and_total(spark):
+    from pprl_spark.operators.blocking import blocking_stats
+
+    df = spark.createDataFrame(
+        [(i, f"b{i % 3}") for i in range(10)] + [(100, "hot")] * 0,
+        "doc_id long, block_key string",
+    )
+    rows = {r["rank"]: r for r in blocking_stats(df, k=2).collect()}
+    # sizes: b0=4, b1=3, b2=3 (tie at 3 -> b1 before b2)
+    assert rows[1]["block_key"] == "b0" and rows[1]["size"] == 4 and rows[1]["pairs"] == 6
+    assert rows[2]["block_key"] == "b1" and rows[2]["size"] == 3
+    tot = rows[0]
+    assert tot["block_key"] == "<all>" and tot["size"] == 10
+    assert tot["pairs"] == 6 + 3 + 3 and tot["n_blocks"] == 3
+
+
+def test_blocking_stats_no_global_sort(spark):
+    from pprl_spark.operators.blocking import blocking_stats
+
+    df = spark.createDataFrame(
+        [(i, f"b{i % 5}") for i in range(50)], "doc_id long, block_key string"
+    )
+    plan = blocking_stats(df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # heap top-k, not a sort
