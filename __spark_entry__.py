@@ -1335,6 +1335,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("g_sim").cast("long").alias("g_sim"),
             F.col("g_len").cast("long").alias("g_len"),
             "score_u",
+            "sim",
+        )
+
+    def _fs_scored_memo(spark, sf_dir):
+        return _memoized(
+            (_skey(spark), sf_dir, "fs_scored"),
+            lambda: pprl_fs_scored(spark, sf_dir).localCheckpoint(),
+        )
+
+    def pprl_fs_scored_q(spark, sf_dir):
+        return _fs_scored_memo(spark, sf_dir).drop("sim")
+
+    def pprl_fs_match(spark, sf_dir):
+        # the FS-calibrated match stage: mutual-best per side ranked by
+        # (score_u desc, sim desc, partner id) — integer F-S evidence
+        # first, Bloom similarity as the fine tie-break (FS scores take
+        # <=2^k distinct values). Same per-side rank-1 shape as
+        # pprl_mutual_best_match, so the oracle is the ranked-window twin
+        # over the FS CTE.
+        from pprl_spark.operators.matching import mutual_best_match
+
+        scored = _fs_scored_memo(spark, sf_dir)
+        out = mutual_best_match(scored, order_cols=("score_u", "sim"))
+        return out.select(
+            F.col("id1").cast("long"),
+            F.col("id2").cast("long"),
+            F.col("score_u").cast("long").alias("score_u"),
+            "sim",
         )
 
     def ann_topk(spark, sf_dir):
@@ -1697,7 +1725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_blocklist": text_blocklist,
         "text_tfidf": text_tfidf,
         "text_surprisal": text_surprisal,
-        "pprl_fs_scored": pprl_fs_scored,
+        "pprl_fs_scored": pprl_fs_scored_q,
+        "pprl_fs_match": pprl_fs_match,
         "text_pii_scrub": text_pii_scrub,
         "events_asof": events_asof,
         "events_range_join": events_range_join,
@@ -2435,7 +2464,7 @@ FROM m CROSS JOIN q
     # the committed EM weight fixture (integer micro-bans -> exact
     # integer sums; the fixture checks the scoring math like the SCM
     # dump, while EM itself is pinned by pytest parameter-recovery tests)
-    fs_scored_sql = (
+    fs_cte = (
         SQL_PAIRS
         + f"""
 , attrs AS (
@@ -2443,7 +2472,7 @@ FROM m CROSS JOIN q
   FROM documents
 ),
 g AS (
-  SELECT id1, id2,
+  SELECT id1, id2, sim,
          CASE WHEN a1.lang = a2.lang THEN 1 ELSE 0 END AS g_lang,
          CASE WHEN a1.source = a2.source THEN 1 ELSE 0 END AS g_source,
          CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END AS g_sim,
@@ -2452,23 +2481,46 @@ g AS (
   JOIN attrs a1 ON pairs.id1 = a1.doc_id
   JOIN attrs a2 ON pairs.id2 = a2.doc_id
 ),
-w AS (SELECT * FROM read_parquet('{FS_FIXTURE}'))
-SELECT id1, id2, g_lang::BIGINT AS g_lang, g_source::BIGINT AS g_source,
-       g_sim::BIGINT AS g_sim, g_len::BIGINT AS g_len,
-       (  CASE WHEN g_lang = 1
-               THEN (SELECT agree_w FROM w WHERE field = 'lang')
-               ELSE (SELECT disagree_w FROM w WHERE field = 'lang') END
-        + CASE WHEN g_source = 1
-               THEN (SELECT agree_w FROM w WHERE field = 'source')
-               ELSE (SELECT disagree_w FROM w WHERE field = 'source') END
-        + CASE WHEN g_sim = 1
-               THEN (SELECT agree_w FROM w WHERE field = 'sim')
-               ELSE (SELECT disagree_w FROM w WHERE field = 'sim') END
-        + CASE WHEN g_len = 1
-               THEN (SELECT agree_w FROM w WHERE field = 'len')
-               ELSE (SELECT disagree_w FROM w WHERE field = 'len') END
-       )::BIGINT AS score_u
-FROM g
+w AS (SELECT * FROM read_parquet('{FS_FIXTURE}')),
+fsscored AS (
+  SELECT id1, id2, sim,
+         g_lang::BIGINT AS g_lang, g_source::BIGINT AS g_source,
+         g_sim::BIGINT AS g_sim, g_len::BIGINT AS g_len,
+         (  CASE WHEN g_lang = 1
+                 THEN (SELECT agree_w FROM w WHERE field = 'lang')
+                 ELSE (SELECT disagree_w FROM w WHERE field = 'lang') END
+          + CASE WHEN g_source = 1
+                 THEN (SELECT agree_w FROM w WHERE field = 'source')
+                 ELSE (SELECT disagree_w FROM w WHERE field = 'source') END
+          + CASE WHEN g_sim = 1
+                 THEN (SELECT agree_w FROM w WHERE field = 'sim')
+                 ELSE (SELECT disagree_w FROM w WHERE field = 'sim') END
+          + CASE WHEN g_len = 1
+                 THEN (SELECT agree_w FROM w WHERE field = 'len')
+                 ELSE (SELECT disagree_w FROM w WHERE field = 'len') END
+         )::BIGINT AS score_u
+  FROM g
+)
+"""
+    )
+    fs_scored_sql = (
+        fs_cte
+        + "SELECT id1, id2, g_lang, g_source, g_sim, g_len, score_u FROM fsscored"
+    )
+    # FS match twin: per-side rank-1 windows ordered by (score_u desc,
+    # sim desc, partner id) — same shape as the mutual-best oracle
+    fs_match_sql = (
+        fs_cte
+        + """
+, fsranked AS (
+  SELECT id1, id2, score_u, sim,
+         row_number() OVER (PARTITION BY id1
+                            ORDER BY score_u DESC, sim DESC, id2 ASC) AS r1,
+         row_number() OVER (PARTITION BY id2
+                            ORDER BY score_u DESC, sim DESC, id1 ASC) AS r2
+  FROM fsscored
+)
+SELECT id1, id2, score_u, sim FROM fsranked WHERE r1 = 1 AND r2 = 1
 """
     )
 
@@ -2578,6 +2630,7 @@ GROUP BY ROLLUP (lang, source)
         "vocab_topk": vocab_topk_sql,
         "text_surprisal": text_surprisal_sql,
         "pprl_fs_scored": fs_scored_sql,
+        "pprl_fs_match": fs_match_sql,
         "text_pii_scrub": text_pii_scrub_sql,
         "events_asof": events_asof_sql,
         "events_range_join": events_range_join_sql,

@@ -129,6 +129,9 @@ def main() -> None:
         # Fellegi-Sunter EM weighting over blocked pairs (pattern-table
         # EM on the driver, literal CASE scoring)
         "fs_scored": lambda s: q["pprl_fs_scored"](s, SF_DIR).count(),
+        # FS-calibrated mutual-best match over the memoized scored table
+        # (stage-cost semantics: measures the match windows, not re-scoring)
+        "fs_match": lambda s: q["pprl_fs_match"](s, SF_DIR).count(),
         # PII redaction pass (codegen'd regex count + sequential scrub)
         "text_pii_scrub": lambda s: q["text_pii_scrub"](s, SF_DIR).count(),
         # as-of join (tagged-union carry-forward window, one exchange)
@@ -160,6 +163,7 @@ def main() -> None:
     N_RUNS = 3
     OWNED_MEMO = {
         "pprl_embed": ["embedded"],
+        "fs_scored": ["fs_scored"],
         "pprl_block_score": ["scored_pairs", "blocked"],
         "pprl_match": ["mutual_best"],
     }

@@ -166,7 +166,10 @@ def jaro_winkler_rescore(
 
 
 def mutual_best_match(
-    candidates: DataFrame, rounds: int = 1, self_linkage: bool = False
+    candidates: DataFrame,
+    rounds: int = 1,
+    self_linkage: bool = False,
+    order_cols: tuple[str, ...] = ("sim",),
 ) -> DataFrame:
     """Keep pairs that are each other's best candidate (rank 1 both ways).
 
@@ -201,8 +204,9 @@ def mutual_best_match(
     """
 
     def one_round(cand: DataFrame) -> DataFrame:
-        w1 = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
-        w2 = Window.partitionBy("id2").orderBy(F.desc("sim"), F.asc("id1"))
+        ob = [F.desc(c) for c in order_cols]
+        w1 = Window.partitionBy("id1").orderBy(*ob, F.asc("id2"))
+        w2 = Window.partitionBy("id2").orderBy(*ob, F.asc("id1"))
         return (
             cand.withColumn("_r1", F.row_number().over(w1))
             .withColumn("_r2", F.row_number().over(w2))
@@ -213,12 +217,14 @@ def mutual_best_match(
     def one_round_self(cand: DataFrame) -> DataFrame:
         # symmetrize, rank each doc's best partner over BOTH orientations,
         # then keep original-orientation pairs whose partners are mutual
-        sym = cand.select("id1", "id2", "sim").unionByName(
+        sym = cand.select("id1", "id2", *order_cols).unionByName(
             cand.select(
-                F.col("id2").alias("id1"), F.col("id1").alias("id2"), "sim"
+                F.col("id2").alias("id1"), F.col("id1").alias("id2"), *order_cols
             )
         )
-        w = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
+        w = Window.partitionBy("id1").orderBy(
+            *[F.desc(c) for c in order_cols], F.asc("id2")
+        )
         best = (
             sym.withColumn("_r", F.row_number().over(w))
             .where(F.col("_r") == 1)
