@@ -1339,6 +1339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def _fs_scored_memo(spark, sf_dir):
+        # the outer localCheckpoint looks redundant next to the gamma
+        # checkpoint inside, but it pays for itself: downstream match
+        # windows re-count a materialized slim frame instead of
+        # re-evaluating the scoring projection per consumer (measured
+        # 2.1s vs 3.5s per fs_match sample at sf0.1)
         return _memoized(
             (_skey(spark), sf_dir, "fs_scored"),
             lambda: pprl_fs_scored(spark, sf_dir).localCheckpoint(),
