@@ -1370,6 +1370,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim",
         )
 
+    def pprl_fs_clusters(spark, sf_dir):
+        # FS pipeline end-cap: entities from the FS-calibrated match
+        # stage — mutual-best pairs with positive net evidence
+        # (score_u > 0) closed transitively. Per-side mutual-best over
+        # one namespace still chains (a doc can be id1 in one pair and
+        # id2 in another), so CC is the right closure, exactly as in
+        # pprl_clusters.
+        m = pprl_fs_match(spark, sf_dir).where(F.col("score_u") > 0)
+        cc = connected_components(m.select("id1", "id2"))
+        return cc.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("entity_id").cast("long").alias("entity_id"),
+        )
+
     def ann_topk(spark, sf_dir):
         emb = _embeddings(spark, sf_dir)
         queries_df = emb.where(F.col("vec_id") < 10).select(
@@ -1732,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal": text_surprisal,
         "pprl_fs_scored": pprl_fs_scored_q,
         "pprl_fs_match": pprl_fs_match,
+        "pprl_fs_clusters": pprl_fs_clusters,
         "text_pii_scrub": text_pii_scrub,
         "events_asof": events_asof,
         "events_range_join": events_range_join,
@@ -2529,6 +2544,31 @@ SELECT id1, id2, score_u, sim FROM fsranked WHERE r1 = 1 AND r2 = 1
 """
     )
 
+    # FS clusters twin: transitive closure of positive-evidence FS
+    # mutual-best pairs via the same recursive-CTE walk as pprl_clusters
+    fs_clusters_sql = (
+        fs_cte.replace("WITH grams", "WITH RECURSIVE grams", 1)
+        + """
+, fsranked AS (
+  SELECT id1, id2, score_u,
+         row_number() OVER (PARTITION BY id1
+                            ORDER BY score_u DESC, sim DESC, id2 ASC) AS r1,
+         row_number() OVER (PARTITION BY id2
+                            ORDER BY score_u DESC, sim DESC, id1 ASC) AS r2
+  FROM fsscored
+),
+m AS (SELECT id1, id2 FROM fsranked WHERE r1 = 1 AND r2 = 1 AND score_u > 0),
+edges AS (SELECT id1 AS u, id2 AS v FROM m UNION SELECT id2, id1 FROM m),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+walk(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.n
+)
+SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n
+"""
+    )
+
     # PII scrub twin: identical deterministic injection from doc_id
     # arithmetic, patterns shared verbatim with the Spark side
     # (PII_PATTERNS — ASCII-only syntax Java regex and RE2 agree on),
@@ -2636,6 +2676,7 @@ GROUP BY ROLLUP (lang, source)
         "text_surprisal": text_surprisal_sql,
         "pprl_fs_scored": fs_scored_sql,
         "pprl_fs_match": fs_match_sql,
+        "pprl_fs_clusters": fs_clusters_sql,
         "text_pii_scrub": text_pii_scrub_sql,
         "events_asof": events_asof_sql,
         "events_range_join": events_range_join_sql,

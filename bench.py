@@ -132,6 +132,7 @@ def main() -> None:
         # FS-calibrated mutual-best match over the memoized scored table
         # (stage-cost semantics: measures the match windows, not re-scoring)
         "fs_match": lambda s: q["pprl_fs_match"](s, SF_DIR).count(),
+        "fs_clusters": lambda s: q["pprl_fs_clusters"](s, SF_DIR).count(),
         # PII redaction pass (codegen'd regex count + sequential scrub)
         "text_pii_scrub": lambda s: q["text_pii_scrub"](s, SF_DIR).count(),
         # as-of join (tagged-union carry-forward window, one exchange)

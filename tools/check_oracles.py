@@ -28,7 +28,10 @@ TABLES = [
 # cannot match by construction, so the checker reports them as scoped
 # rather than failed. Every other oracle is closed-form SQL and must
 # pass at EVERY scale (verified at sf0.001 and sf0.01).
-FIXTURE_SCOPED = {"pprl_scm_scored", "pprl_assignment", "pprl_metaphone", "pprl_fs_scored"}
+FIXTURE_SCOPED = {
+    "pprl_scm_scored", "pprl_assignment", "pprl_metaphone",
+    "pprl_fs_scored", "pprl_fs_match", "pprl_fs_clusters",
+}
 
 
 def norm_cell(v):
