@@ -338,3 +338,78 @@ def stream_decontaminate(
     )
     agg = hits.groupBy(*keys).agg(F.count("*").alias("n_shared"))
     return agg.select("doc_id", "n_shared")
+
+
+def asof_stream(
+    spark: SparkSession,
+    input_dir: str,
+    left_type: str = "view",
+    right_type: str = "error",
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+) -> DataFrame:
+    """Streaming as-of join over ONE interleaved event stream: each
+    ``left_type`` event is annotated with the newest ``right_type``
+    event of the same user at-or-before it among those ALREADY ARRIVED.
+
+    Per-user state is exactly one row — the max-(ts, event_id) right
+    payload seen so far — so state is bounded by |users| regardless of
+    stream length and needs no timeout/eviction. Within a micro-batch,
+    rows fold in event-time order (ts, event_id), so intra-batch
+    interleavings are exact; ACROSS micro-batches the answer is
+    best-seen-so-far: a right event arriving after a left event it
+    precedes in event time is not retroactively applied (append mode
+    cannot retract). Under event-time-ordered replay the output equals
+    the batch twin ``operators.events.asof_join`` exactly — the same
+    arrival-order contract as ``stream_exact_dedup`` — and out-of-order
+    arrivals degrade to the information available at processing time,
+    matching what a live low-latency enrichment can ever know.
+
+    Output: (event_id, user_id, ts_us, asof_event_id, asof_ts_us,
+    asof_value) with -1 sentinels for no-match (typed, orderable).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_cols = [
+        "event_id",
+        "user_id",
+        "ts_us",
+        "asof_event_id",
+        "asof_ts_us",
+        "asof_value",
+    ]
+
+    def fn(key, pdfs, state):
+        user = int(key[0])
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        best = tuple(state.get) if state.exists else None  # (ts_us, id, value)
+        out = []
+        for r in rows.itertuples(index=False):
+            ts_us = int(pd.Timestamp(r.ts).value // 1000)
+            if r.event_type == right_type:
+                if best is None or (ts_us, int(r.event_id)) >= (best[0], best[1]):
+                    best = (ts_us, int(r.event_id), float(r.value))
+            elif r.event_type == left_type:
+                if best is not None and best[0] <= ts_us:
+                    out.append((int(r.event_id), user, ts_us, best[1], best[0], best[2]))
+                else:
+                    out.append((int(r.event_id), user, ts_us, -1, -1, -1.0))
+        if best is not None:
+            state.update(best)
+        yield pd.DataFrame(out, columns=out_cols)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        stream.where(F.col("event_type").isin(left_type, right_type))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "event_id long, user_id long, ts_us long, "
+                "asof_event_id long, asof_ts_us long, asof_value double"
+            ),
+            stateStructType="ts_us long, event_id long, value double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -235,3 +235,73 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want == {(1, 1), (3, 3)}
+
+
+def test_asof_stream_matches_batch_under_ordered_replay(spark, tmp_path):
+    """Streaming as-of must equal the batch asof_join when events arrive
+    in event-time order across micro-batches (the streaming contract);
+    the batch twin runs over the identical rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pprl_spark.operators.events import asof_join
+    from pprl_spark.streaming.incremental import asof_stream
+
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [float(r[0]) for r in rows],
+                "props": "{}",
+            }
+        )
+
+    # (event_id, t_offset_s, user, type); batch 2 strictly later in
+    # event time than batch 1 (ordered replay)
+    b1 = mk([(1, 0, 1, "error"), (2, 5, 1, "view"), (3, 5, 2, "view"),
+             (4, 8, 1, "error"), (5, 8, 1, "error"), (6, 9, 1, "view")])
+    b2 = mk([(7, 20, 2, "error"), (8, 25, 2, "view"), (9, 30, 1, "view")])
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = (
+        asof_stream(spark, in_dir)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    ev = spark.createDataFrame(pd.concat([b1, b2]), schema)
+    left = ev.where(F.col("event_type") == "view").select("event_id", "ts", "user_id", "value")
+    right = ev.where(F.col("event_type") == "error").select("event_id", "ts", "user_id", "value")
+    exp = {
+        r["event_id"]: (
+            r["asof_event_id"] if r["asof_event_id"] is not None else -1,
+            r["asof_value"] if r["asof_value"] is not None else -1.0,
+        )
+        for r in asof_join(left, right).collect()
+    }
+    assert got == exp
+    # spot-check the semantics: equal-ts tie at t=8 resolves to max id (5)
+    assert got[6] == (5, 5.0)
+    # user 2's first view precedes any error -> sentinel
+    assert got[3] == (-1, -1.0)
