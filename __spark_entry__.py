@@ -896,6 +896,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_copies").cast("long").alias("n_copies"),
         )
 
+    def spans_cross_media(spark, sf_dir):
+        # re-hosted-document detector over the interleaved shape: text
+        # spans lift from (lang, n_chars), one media span derives from
+        # source (img://<source>) — so docs sharing (lang, n_chars) but
+        # split across sources model "same article, re-hosted media".
+        # The lifted text serialization is injective in (lang, n_chars)
+        # and the media ref in source, so the oracle groups by the raw
+        # fields instead of rebuilding serializations.
+        from pprl_spark.operators.dedup import cross_media_duplicates
+        from pprl_spark.sources.tables import lift_flat_records
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+        lifted = lift_flat_records(docs, "doc_id", ["lang", "n_chars"], keep=["source"])
+        media_span = F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("img://"), F.col("source")).alias("media_ref"),
+            F.lit(2).alias("offset"),
+        )
+        interleaved = lifted.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat("spans", F.array(media_span)).alias("spans"),
+        )
+        out = cross_media_duplicates(interleaved)
+        return out.select(
+            "doc_id",
+            F.col("text_canonical_id").cast("long").alias("text_canonical_id"),
+            F.col("n_text_copies").cast("long").alias("n_text_copies"),
+            F.col("n_media_variants").cast("long").alias("n_media_variants"),
+        )
+
     def text_quality_trim(spark, sf_dir):
         # corpus-calibrated quality cutoff: drop the bottom decile by
         # quality_score, threshold = exact type-7 percentile over the
@@ -1747,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_fs_scored": pprl_fs_scored_q,
         "pprl_fs_match": pprl_fs_match,
         "pprl_fs_clusters": pprl_fs_clusters,
+        "spans_cross_media": spans_cross_media,
         "text_pii_scrub": text_pii_scrub,
         "events_asof": events_asof,
         "events_range_join": events_range_join,
@@ -2569,6 +2601,23 @@ SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n
 """
     )
 
+    # cross-media twin: the lifted text serialization is injective in
+    # (lang, n_chars) and the injected media ref in source, so the
+    # oracle groups by the raw fields directly
+    spans_cross_media_sql = r"""
+WITH g AS (
+  SELECT lang, n_chars,
+         min(doc_id)::BIGINT AS text_canonical_id,
+         count(*)::BIGINT AS n_text_copies,
+         count(DISTINCT source)::BIGINT AS n_media_variants
+  FROM documents GROUP BY lang, n_chars
+)
+SELECT d.doc_id::BIGINT AS doc_id, g.text_canonical_id,
+       g.n_text_copies, g.n_media_variants
+FROM documents d JOIN g USING (lang, n_chars)
+WHERE g.n_text_copies > 1 AND g.n_media_variants > 1
+"""
+
     # PII scrub twin: identical deterministic injection from doc_id
     # arithmetic, patterns shared verbatim with the Spark side
     # (PII_PATTERNS — ASCII-only syntax Java regex and RE2 agree on),
@@ -2677,6 +2726,7 @@ GROUP BY ROLLUP (lang, source)
         "pprl_fs_scored": fs_scored_sql,
         "pprl_fs_match": fs_match_sql,
         "pprl_fs_clusters": fs_clusters_sql,
+        "spans_cross_media": spans_cross_media_sql,
         "text_pii_scrub": text_pii_scrub_sql,
         "events_asof": events_asof_sql,
         "events_range_join": events_range_join_sql,

@@ -122,6 +122,7 @@ def main() -> None:
         "text_blocklist": lambda s: q["text_blocklist"](s, SF_DIR).count(),
         "text_tfidf": lambda s: q["text_tfidf"](s, SF_DIR).count(),
         "spans_exact_dedup": lambda s: q["spans_exact_dedup"](s, SF_DIR).count(),
+        "spans_cross_media": lambda s: q["spans_cross_media"](s, SF_DIR).count(),
         "sample_token_budget": lambda s: q["sample_token_budget"](s, SF_DIR).count(),
         "text_quality_trim": lambda s: q["text_quality_trim"](s, SF_DIR).count(),
         # CCNet-style unigram-surprisal scoring + head/middle/tail split

@@ -541,3 +541,68 @@ def exact_duplicate_spans(df: DataFrame, spans_col: str = "spans", id_col: str =
         keyed.join(groups.where(F.col("n_copies") > 1), ["fp1", "fp2"])
         .select("doc_id", "canonical_id", "n_copies")
     )
+
+
+def _kind_serialize_col(spans: Column | str, text_kind: bool) -> Column:
+    """Serialize only the text spans (kind+text) or only the non-text
+    spans (kind+media_ref), offset-ordered — the two halves of
+    :func:`span_serialize_col`, used to compare them independently."""
+    c = F.col(spans) if isinstance(spans, str) else spans
+    pred = (lambda s: s["kind"] == F.lit("text")) if text_kind else (
+        lambda s: s["kind"] != F.lit("text")
+    )
+    payload = (lambda s: s["text"]) if text_kind else (lambda s: s["media_ref"])
+    ordered = F.array_sort(
+        F.transform(
+            F.filter(c, pred),
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                F.concat(
+                    F.coalesce(s["kind"], F.lit("")),
+                    F.lit(SPAN_FIELD_SEP),
+                    F.coalesce(payload(s), F.lit("")),
+                ).alias("ser"),
+            ),
+        )
+    )
+    return F.array_join(F.transform(ordered, lambda s: s["ser"]), SPAN_SEP)
+
+
+def cross_media_duplicates(
+    df: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Re-hosted-document detector over interleaved docs: groups whose
+    TEXT span sequence is identical while the media-ref sequence varies
+    -> (doc_id, text_canonical_id, n_text_copies, n_media_variants),
+    flagged docs only.
+
+    The curation case exact span dedup cannot see: the same article
+    re-published with re-hosted/re-encoded images is NOT an exact
+    span-sequence duplicate (media_refs differ) but is one document for
+    training purposes — and conversely a text group with several media
+    variants is where naive text-only dedup silently drops distinct
+    image supervision. Scale shape: per doc only (id, 128-bit text
+    fingerprint, 64-bit media fingerprint) ride the exchange (text and
+    refs never move); one map-side-combined groupBy computes copies +
+    distinct-variant counts; flagged groups join back on the slim key.
+    """
+    t = _kind_serialize_col(spans_col, text_kind=True)
+    m = _kind_serialize_col(spans_col, text_kind=False)
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.xxhash64(t).alias("tfp1"),
+        F.xxhash64(F.lit(1), t).alias("tfp2"),
+        F.xxhash64(m).alias("mfp"),
+    )
+    groups = (
+        keyed.groupBy("tfp1", "tfp2")
+        .agg(
+            F.min("doc_id").alias("text_canonical_id"),
+            F.count("*").alias("n_text_copies"),
+            F.count_distinct("mfp").alias("n_media_variants"),
+        )
+        .where((F.col("n_text_copies") > 1) & (F.col("n_media_variants") > 1))
+    )
+    return keyed.join(groups, ["tfp1", "tfp2"]).select(
+        "doc_id", "text_canonical_id", "n_text_copies", "n_media_variants"
+    )

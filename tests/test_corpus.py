@@ -429,3 +429,47 @@ def test_blocking_stats_no_global_sort(spark):
     )
     plan = blocking_stats(df, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # heap top-k, not a sort
+
+
+def test_cross_media_duplicates_semantics(spark):
+    from pprl_spark.operators.dedup import cross_media_duplicates
+
+    def doc(i, texts, refs):
+        spans = [("text", t, None, j) for j, t in enumerate(texts)]
+        spans += [("image", None, r, len(texts) + j) for j, r in enumerate(refs)]
+        return (i, spans)
+
+    rows = [
+        doc(1, ["a", "b"], ["img1"]),
+        doc(2, ["a", "b"], ["img2"]),      # same text, different media -> flagged with 1
+        doc(3, ["a", "b"], ["img1"]),      # exact dup of 1 (same media) -> same group
+        doc(4, ["a", "c"], ["img1"]),      # different text -> not in group
+        doc(5, ["x"], ["m1"]),
+        doc(6, ["x"], ["m1"]),             # same text AND same media -> NOT flagged
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    got = {r["doc_id"]: r for r in cross_media_duplicates(df).collect()}
+    assert set(got) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert got[i]["text_canonical_id"] == 1
+        assert got[i]["n_text_copies"] == 3
+        assert got[i]["n_media_variants"] == 2
+
+
+def test_cross_media_media_order_matters(spark):
+    from pprl_spark.operators.dedup import cross_media_duplicates
+
+    rows = [
+        (1, [("text", "a", None, 0), ("image", None, "m1", 1), ("image", None, "m2", 2)]),
+        (2, [("text", "a", None, 0), ("image", None, "m2", 1), ("image", None, "m1", 2)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    # same text, same media SET but different media ORDER -> 2 variants
+    got = {r["doc_id"]: r["n_media_variants"] for r in cross_media_duplicates(df).collect()}
+    assert got == {1: 2, 2: 2}
