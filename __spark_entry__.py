@@ -764,6 +764,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _floor6(F.col("jw_sim")).alias("jw_sim"),
         )
 
+    def pprl_edit_pairs(spark, sf_dir):
+        # edit-distance pair rescoring with the BUILT-IN (JVM,
+        # whole-stage-codegen'd) levenshtein — unlike JW (mapInPandas
+        # kernel) this stays entirely JVM-side; integer distances make
+        # the oracle trivially exact, and the normalized similarity
+        # 1 - d/maxlen divides two exact integers (one exactly-rounded
+        # op). Same deterministic 1/7 pair sample as pprl_jw_pairs.
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.lower("text"), r"\s+"), 1, 12), " "
+            ).alias("t12"),
+        )
+        pairs = (
+            _scored_pairs(spark, sf_dir)
+            .where(F.col("sim") >= 0.5)
+            .where((F.col("id1") * 1000003 + F.col("id2")) % 7 == 0)
+        )
+        d1 = docs.select(F.col("doc_id").alias("id1"), F.col("t12").alias("t1"))
+        d2 = docs.select(F.col("doc_id").alias("id2"), F.col("t12").alias("t2"))
+        dist = F.levenshtein("t1", "t2")
+        maxlen = F.greatest(F.length("t1"), F.length("t2"))
+        return (
+            pairs.join(d1, "id1")
+            .join(d2, "id2")
+            .select(
+                F.col("id1").cast("long"),
+                F.col("id2").cast("long"),
+                "sim",
+                dist.cast("long").alias("edit_dist"),
+                F.when(maxlen == 0, F.lit(1.0))
+                .otherwise(
+                    F.lit(1.0) - dist.cast("double") / maxlen.cast("double")
+                )
+                .alias("edit_sim"),
+            )
+        )
+
     def dedup_minhash(spark, sf_dir):
         out = _minhash_dedup_pairs(spark, sf_dir)
         return out.select(
@@ -1779,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_fs_match": pprl_fs_match,
         "pprl_fs_clusters": pprl_fs_clusters,
         "spans_cross_media": spans_cross_media,
+        "pprl_edit_pairs": pprl_edit_pairs,
         "text_pii_scrub": text_pii_scrub,
         "events_asof": events_asof,
         "events_range_join": events_range_join,
@@ -2601,6 +2640,30 @@ SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n
 """
     )
 
+    # edit-distance twin over the shared pair CTE; DuckDB levenshtein
+    # returns the same integer DP distance as Spark's built-in
+    edit_pairs_sql = (
+        SQL_PAIRS
+        + r"""
+, t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x <> '')[1:12], ' ') AS t12
+  FROM documents
+),
+sampled AS (
+  SELECT id1, id2, sim FROM pairs
+  WHERE sim >= 0.5 AND (id1 * 1000003 + id2) % 7 = 0
+)
+SELECT s.id1, s.id2, s.sim,
+       levenshtein(a.t12, b.t12)::BIGINT AS edit_dist,
+       CASE WHEN greatest(length(a.t12), length(b.t12)) = 0 THEN 1.0
+            ELSE 1.0 - levenshtein(a.t12, b.t12)::DOUBLE
+                 / greatest(length(a.t12), length(b.t12))::DOUBLE END AS edit_sim
+FROM sampled s JOIN t a ON s.id1 = a.doc_id JOIN t b ON s.id2 = b.doc_id
+"""
+    )
+
     # cross-media twin: the lifted text serialization is injective in
     # (lang, n_chars) and the injected media ref in source, so the
     # oracle groups by the raw fields directly
@@ -2727,6 +2790,7 @@ GROUP BY ROLLUP (lang, source)
         "pprl_fs_match": fs_match_sql,
         "pprl_fs_clusters": fs_clusters_sql,
         "spans_cross_media": spans_cross_media_sql,
+        "pprl_edit_pairs": edit_pairs_sql,
         "text_pii_scrub": text_pii_scrub_sql,
         "events_asof": events_asof_sql,
         "events_range_join": events_range_join_sql,

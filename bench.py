@@ -95,6 +95,8 @@ def main() -> None:
         "events_windowed": lambda s: q["events_windowed"](s, SF_DIR).count(),
         "events_sessionize": lambda s: q["events_sessionize"](s, SF_DIR).count(),
         "jw_pairs": lambda s: q["pprl_jw_pairs"](s, SF_DIR).count(),
+        # built-in JVM levenshtein rescoring (codegen'd, no Python)
+        "edit_pairs": lambda s: q["pprl_edit_pairs"](s, SF_DIR).count(),
         "dedup_clusters": lambda s: q["dedup_clusters"](s, SF_DIR).count(),
         "multimodal_decode": lambda s: q["multimodal_decode"](s, SF_DIR).count(),
         # first run pays the one-time bucketed corpus write; repeats
