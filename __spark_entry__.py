@@ -1256,6 +1256,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return blocking_stats(_blocked(spark, sf_dir), k=20)
 
+    def events_pivot(spark, sf_dir):
+        # wide per-user activity matrix: groupBy().pivot() with an
+        # EXPLICIT value list — no distinct-discovery pre-job, and the
+        # pivot compiles to one map-side-combined aggregate with a CASE
+        # per column (exactly the conditional-aggregation twin the
+        # oracle writes out longhand). value sums are floor6-truncated
+        # integers so cross-engine summation order cannot matter.
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        types = ["click", "error", "purchase", "signup", "view"]
+        out = (
+            ev.withColumn("v_u", F.floor(F.col("value") * F.lit(1e6)))
+            .groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v_u").alias("v"))
+        )
+        cols = [F.col("user_id").cast("long").alias("user_id")]
+        for t in types:
+            cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}"))
+            cols.append(F.coalesce(F.col(f"{t}_v"), F.lit(0)).cast("long").alias(f"v_{t}"))
+        return out.select(*cols)
+
     def events_range_join(spark, sf_dir):
         # interval join: every (view, error) pair of the same user within
         # +-6 hours. Bin-bucketed rewrite: the equi-join runs on
@@ -1821,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "events_asof": events_asof,
         "events_range_join": events_range_join,
+        "events_pivot": events_pivot,
         "pprl_block_stats": pprl_block_stats,
         "corpus_rollup": corpus_rollup,
         "spans_roundtrip": spans_roundtrip,
@@ -2768,6 +2790,19 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') r
  AND r.ts BETWEEN l.ts - INTERVAL 6 HOUR AND l.ts + INTERVAL 6 HOUR
 """
 
+    # pivot twin: conditional aggregation longhand
+    _ptypes = ["click", "error", "purchase", "signup", "view"]
+    _pcols = ", ".join(
+        f"count(*) FILTER (event_type = '{t}')::BIGINT AS n_{t}, "
+        f"coalesce(sum(floor(value * 1000000)) FILTER (event_type = '{t}'), 0)::BIGINT AS v_{t}"
+        for t in _ptypes
+    )
+    events_pivot_sql = f"""
+SELECT user_id::BIGINT AS user_id,
+       {_pcols}
+FROM events GROUP BY user_id
+"""
+
     # rollup twin: same three grouping-set levels; n_tokens/n_chars are
     # computed from text in both engines (not the stored n_chars column,
     # which counts pre-normalization characters)
@@ -2794,6 +2829,7 @@ GROUP BY ROLLUP (lang, source)
         "text_pii_scrub": text_pii_scrub_sql,
         "events_asof": events_asof_sql,
         "events_range_join": events_range_join_sql,
+        "events_pivot": events_pivot_sql,
         "pprl_block_stats": block_stats_sql,
         "corpus_rollup": corpus_rollup_sql,
         "text_decontaminate": text_decontaminate_sql,

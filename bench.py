@@ -140,6 +140,8 @@ def main() -> None:
         "text_pii_scrub": lambda s: q["text_pii_scrub"](s, SF_DIR).count(),
         # as-of join (tagged-union carry-forward window, one exchange)
         "events_asof": lambda s: q["events_asof"](s, SF_DIR).count(),
+        # explicit-value pivot (one map-side-combined conditional agg)
+        "events_pivot": lambda s: q["events_pivot"](s, SF_DIR).count(),
         # grouping-set composition report (one Expand + one exchange)
         "corpus_rollup": lambda s: q["corpus_rollup"](s, SF_DIR).count(),
         # bin-bucketed interval join (fan-out bounded by bin occupancy)
