@@ -898,6 +898,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def dedup_eval(spark, sf_dir):
+        # pairwise clustering evaluation WITHOUT pair enumeration: P/R/F1
+        # of the MinHash near-dup clusters against the exact-duplicate
+        # partition, computed from three counted aggregates over the
+        # (pred, truth) contingency table — sum C(n,2) per cell / per
+        # marginal. No pair is ever materialized, so the same report
+        # runs at 10^12 docs (a truth cluster of 10^9 contributes one
+        # BIGINT, not 10^18 rows). Each metric is ONE exactly-rounded
+        # int->double division, so the doubles hash-match the oracle.
+        from pprl_spark.operators.cluster import connected_components
+        from pprl_spark.operators.evaluate import pairwise_cluster_eval
+
+        pairs = _minhash_dedup_pairs(spark, sf_dir)
+        cc = connected_components(pairs.select("id1", "id2"))
+        docs = _docs(spark, sf_dir)
+        norm = F.array_join(TXT.words_col("text"), " ")
+        keyed = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.xxhash64(norm).alias("fp1"),
+            F.xxhash64(F.lit(1), norm).alias("fp2"),
+        )
+        truth = keyed.groupBy("fp1", "fp2").agg(F.min("doc_id").alias("truth_id"))
+        assign = (
+            keyed.join(truth, ["fp1", "fp2"])
+            .join(
+                cc.select("doc_id", F.col("entity_id").alias("_cc")), "doc_id", "left"
+            )
+            .select(
+                F.coalesce(F.col("_cc"), F.col("doc_id"))
+                .cast("long")
+                .alias("entity_id"),
+                F.col("truth_id").cast("long").alias("truth_id"),
+            )
+        )
+        return pairwise_cluster_eval(assign)
+
     def spans_exact_dedup(spark, sf_dir):
         # exact dedup over the input_hint INTERLEAVED shape: flat docs
         # lift to text spans (lang/source/n_chars), plus one media span
@@ -1822,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "delta_clusters": delta_clusters,
         "dedup_cluster_sizes": dedup_cluster_sizes,
+        "dedup_eval": dedup_eval,
         "spans_exact_dedup": spans_exact_dedup,
         "dedup_canonical": dedup_canonical,
         "sample_stratified": sample_stratified,
@@ -2885,6 +2922,44 @@ FROM documents d JOIN canon c USING (lang, source, n_chars)
             )
         ),
         "dedup_canonical": dedup_canonical_sql,
+        # pairwise P/R/F1 from contingency-table combinatorics: splice
+        # the recursive-CTE clusters into cc, partition truth by the
+        # normalized text (identical to the two-hash grouping modulo a
+        # 2^-128 collision, same caveat as dedup_exact), then three
+        # C(n,2) aggregates — the SQL twin never enumerates pairs either
+        "dedup_eval": (
+            dedup_clusters_sql.replace(
+                "SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n",
+                r""", cc AS (SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id
+ FROM walk GROUP BY n),
+k AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                     w -> w <> ''), ' ') AS norm_text
+  FROM documents
+),
+truthx AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY norm_text) AS truth_id FROM k
+),
+assign AS (
+  SELECT coalesce(cc.entity_id, tx.doc_id)::BIGINT AS pc, tx.truth_id::BIGINT AS tc
+  FROM truthx tx LEFT JOIN cc ON cc.doc_id = tx.doc_id
+),
+joint AS (SELECT pc, tc, count(*)::BIGINT AS n FROM assign GROUP BY pc, tc),
+a1 AS (SELECT sum(n)::BIGINT AS n_items, sum(n*(n-1)//2)::BIGINT AS tp_pairs FROM joint),
+a2 AS (SELECT count(*)::BIGINT AS n_pred_clusters, sum(np*(np-1)//2)::BIGINT AS pred_pairs
+       FROM (SELECT sum(n)::BIGINT AS np FROM joint GROUP BY pc)),
+a3 AS (SELECT count(*)::BIGINT AS n_truth_clusters, sum(nt*(nt-1)//2)::BIGINT AS truth_pairs
+       FROM (SELECT sum(n)::BIGINT AS nt FROM joint GROUP BY tc))
+SELECT n_items, n_pred_clusters, n_truth_clusters, tp_pairs, pred_pairs, truth_pairs,
+       CASE WHEN pred_pairs > 0 THEN tp_pairs::DOUBLE / pred_pairs::DOUBLE ELSE 0.0 END AS precision,
+       CASE WHEN truth_pairs > 0 THEN tp_pairs::DOUBLE / truth_pairs::DOUBLE ELSE 0.0 END AS recall,
+       CASE WHEN pred_pairs + truth_pairs > 0
+            THEN (2*tp_pairs)::DOUBLE / (pred_pairs + truth_pairs)::DOUBLE ELSE 0.0 END AS f1
+FROM a1, a2, a3""",
+                1,
+            )
+        ),
         "sample_stratified": sample_stratified_sql,
         "text_quality_trim": "\nWITH base AS (\n  SELECT doc_id::BIGINT AS doc_id,\n         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> w <> '') AS w\n  FROM documents\n),\nq AS (\n  SELECT doc_id,\n         0.4 * least(1.0, len(w) / 50.0)\n         + (CASE WHEN len(w) > 0 THEN 0.3 * (len(list_distinct(w))::DOUBLE / len(w)) ELSE 0.0 END)\n         + (CASE WHEN len(w) > 0 THEN 0.3 * least(1.0,\n              (list_reduce([0::BIGINT] || [len(x) FOR x IN w], (a, x) -> a + x)::DOUBLE / len(w)) / 8.0)\n            ELSE 0.0 END) AS quality\n  FROM base\n),\nt AS (SELECT quantile_cont(quality, 0.1) AS thr FROM q)\nSELECT doc_id, floor(quality * 1000000)/1000000.0 AS quality\nFROM q, t WHERE quality >= thr\n",
         "sample_token_budget": r"""

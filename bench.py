@@ -116,6 +116,9 @@ def main() -> None:
         # both reuse the memoized minhash pair table (like dedup_clusters)
         "delta_clusters": lambda s: q["delta_clusters"](s, SF_DIR).count(),
         "dedup_cluster_sizes": lambda s: q["dedup_cluster_sizes"](s, SF_DIR).count(),
+        # pairwise P/R/F1 vs exact-dup truth from contingency aggregates
+        # (no pair enumeration; also rides the minhash pair memo)
+        "dedup_eval": lambda s: q["dedup_eval"](s, SF_DIR).count(),
         # corpus-statistics / hygiene passes (r5): heavy hitters,
         # benchmark-overlap decontamination, dictionary scrub, TF-IDF,
         # span-sequence dedup, token-budget sampling, quality trim
