@@ -810,6 +810,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _floor6(F.col("jaccard")).alias("jaccard"),
         )
 
+    def dedup_setjoin(spark, sf_dir):
+        # EXACT set-similarity self-join (AllPairs/PPJoin prefix
+        # filtering) over the same k=2 shingle-hash sets as
+        # dedup_minhash: every pair with true Jaccard >= 0.4, not the
+        # banding-probability sample — the lossless/approximate pair the
+        # engine offers side by side. All pruning (prefix length, length
+        # filter, positional bound, final threshold) is integer-exact
+        # rational arithmetic, so the oracle is the naive join with the
+        # identical inter*den >= num*union comparison.
+        from pprl_spark.functions.text import shingle_hashes
+        from pprl_spark.operators.setjoin import jaccard_join
+
+        toks = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            shingle_hashes("text", k=2).alias("tokens"),
+        )
+        out = jaccard_join(toks, threshold="0.4")
+        return out.select(
+            "id1",
+            "id2",
+            "n1",
+            "n2",
+            "intersection",
+            _floor6(F.col("jaccard")).alias("jaccard"),
+        )
+
     def dedup_simhash(spark, sf_dir):
         from pprl_spark.operators.dedup import simhash_col
 
@@ -1851,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_jaro_winkler": text_jaro_winkler,
         "pprl_jw_pairs": pprl_jw_pairs,
         "dedup_minhash": dedup_minhash,
+        "dedup_setjoin": dedup_setjoin,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
@@ -2879,6 +2906,25 @@ GROUP BY ROLLUP (lang, source)
         "text_jaro_winkler": jw_sql,
         "pprl_jw_pairs": jw_pairs_sql,
         "dedup_minhash": dedup_minhash_sql,
+        # exact set-similarity join: the naive quadratic join IS the
+        # oracle (prefix filtering must be lossless), with the identical
+        # integer-rational threshold comparison (t=0.4 -> inter*5 >= union*2)
+        "dedup_setjoin": (
+            sh_cte
+            + """,
+tok AS (SELECT doc_id, unnest(sh) AS tk FROM sh),
+sizes AS (SELECT doc_id, len(sh)::BIGINT AS n FROM sh WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS inter
+  FROM tok a JOIN tok b USING (tk) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, s1.n AS n1, s2.n AS n2, inter AS intersection,
+       floor((inter::DOUBLE / (s1.n + s2.n - inter)) * 1000000)/1000000.0 AS jaccard
+FROM pairs JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+WHERE inter * 5 >= (s1.n + s2.n - inter) * 2
+"""
+        ),
         "dedup_simhash": dedup_simhash_sql,
         "pprl_metaphone": metaphone_sql,
         "pprl_scm_scored": scm_scored_sql,

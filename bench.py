@@ -85,6 +85,9 @@ def main() -> None:
             entry._docs(s, SF_DIR), k=3, threshold=0.5
         ).count(),
         "dedup_simhash": lambda s: simhash_near_duplicates(entry._docs(s, SF_DIR)).count(),
+        # exact prefix-filter set-similarity join (lossless counterpart
+        # of dedup_minhash over the same k=2 shingle sets)
+        "dedup_setjoin": lambda s: q["dedup_setjoin"](s, SF_DIR).count(),
         "text_stats": lambda s: q["text_stats"](s, SF_DIR).count(),
         "ann_topk": lambda s: q["ann_topk"](s, SF_DIR).count(),
         "ann_ivf": lambda s: q["ann_ivf"](s, SF_DIR).count(),

@@ -1,0 +1,150 @@
+"""Exact set-similarity self-join via prefix filtering (AllPairs/PPJoin).
+
+The LOSSLESS counterpart of the MinHash-LSH near-dup path
+(``operators/dedup.py``): returns every pair with Jaccard >= t, not a
+banding-probability sample of them.  The reference's all-pairs compare
+(reference ``src/pprl/matching.py`` similarity loop) is quadratic;
+MinHash trades recall for scale; prefix filtering keeps EXACTNESS and
+still prunes the candidate space, because two sets with Jaccard >= t
+must share a token in their (small) rarest-token prefixes:
+
+- canonical order: every doc's distinct tokens sorted by (global df,
+  token) ascending — rarest first.  Computed with two window passes
+  (count over token partition, row_number over doc partition): no df
+  side-table join, no broadcast, two exchanges.
+- prefix: the first ``n - ceil(t*n) + 1`` tokens.  Any pair with
+  Jaccard >= t shares a prefix token (pigeonhole on the canonical
+  order), so the candidate join runs on prefix tokens only — and
+  prefixes select the LOW-df tokens by construction, so join blocks
+  are naturally small (the skew story: hub tokens like stopwords fall
+  out of prefixes for all but the shortest docs).
+- length filter: min(n1,n2) >= t * max(n1,n2), else Jaccard < t.
+- positional filter (PPJoin): a candidate generated at prefix
+  positions (p1, p2) can overlap at most min(n1-p1, n2-p2) + 1; if
+  that is below the required overlap ceil(t/(1+t) * (n1+n2)) the
+  generation is pruned.  Losslessness: for a true match the FIRST
+  common token (canonical order) always satisfies the bound, and a
+  pair survives if ANY of its generations does.
+- verify: join the distinct token arrays back for the candidate pairs
+  only and test ``|A∩B| * den >= num * |A∪B|``.
+
+Exactness contract: the threshold is converted to an exact rational
+num/den, so every comparison (prefix length, length filter, positional
+bound, final threshold) is INTEGER arithmetic — no float-boundary
+drift between engines or between this and the naive join.  The
+reported ``jaccard`` is one correctly-rounded int→double division.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def jaccard_join(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    threshold: float | str = 0.5,
+    positional: bool = True,
+    materialize: str = "checkpoint",
+) -> DataFrame:
+    """All pairs (id1 < id2) with exact token-set Jaccard >= threshold.
+
+    ``df`` carries one row per doc with an array column of tokens
+    (dupes are removed here).  Returns
+    ``(id1, id2, n1, n2, intersection, jaccard)``.
+
+    ``materialize`` cuts the FOUR evaluations a naive plan performs
+    (prefix pipeline on both sides of the self-join, token arrays on
+    both sides of the verify join) to ONE: the tokenized base and the
+    ranked prefix table are materialized and every join probes the
+    materialized frame.  Same checkpoint|persist|none escape hatch as
+    the dedup operators (persist for cluster callers that need
+    recoverable lineage, none when the caller already materialized).
+    """
+    from pprl_spark.operators.dedup import _materialize
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    if not 0 < frac <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold!r}")
+
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"), F.array_distinct(F.col(tokens_col)).alias("_tk")
+        )
+        .withColumn("_n", F.size("_tk").cast("long"))
+        .filter(F.col("_n") > 0)
+    )
+    base = _materialize(base, materialize)
+
+    ex = base.select("_id", "_n", F.explode("_tk").alias("_t"))
+    ranked = ex.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("_t"))
+    ).withColumn(
+        "_pos",
+        F.row_number()
+        .over(Window.partitionBy("_id").orderBy("_df", "_t"))
+        .cast("long"),
+    )
+    # prefix length n - ceil(t*n) + 1 in exact integers:
+    # ceil(num*n/den) = (num*n + den - 1) DIV den
+    prefix_len = F.expr(f"_n - ((_n * {num} + {den - 1}) DIV {den}) + 1")
+    pref = _materialize(
+        ranked.filter(F.col("_pos") <= prefix_len).select("_id", "_t", "_n", "_pos"),
+        materialize,
+    )
+
+    a = pref.select(
+        F.col("_id").alias("id1"),
+        "_t",
+        F.col("_n").alias("n1"),
+        F.col("_pos").alias("p1"),
+    )
+    b = pref.select(
+        F.col("_id").alias("id2"),
+        "_t",
+        F.col("_n").alias("n2"),
+        F.col("_pos").alias("p2"),
+    )
+    cand = (
+        a.join(b, "_t")
+        .filter(F.col("id1") < F.col("id2"))
+        # symmetric length filter: min >= t * max, integer-exact
+        .filter(
+            F.least("n1", "n2") * F.lit(den) >= F.greatest("n1", "n2") * F.lit(num)
+        )
+    )
+    if positional:
+        # ub = min(n1-p1, n2-p2) + 1 >= ceil(num*(n1+n2)/(num+den))
+        ub = F.least(F.col("n1") - F.col("p1"), F.col("n2") - F.col("p2")) + F.lit(1)
+        cand = cand.filter(
+            ub * F.lit(num + den) >= (F.col("n1") + F.col("n2")) * F.lit(num)
+        )
+    cand = cand.select("id1", "id2").distinct()
+
+    s1 = base.select(F.col("_id").alias("id1"), F.col("_tk").alias("_tk1"))
+    s2 = base.select(F.col("_id").alias("id2"), F.col("_tk").alias("_tk2"))
+    inter = F.size(F.array_intersect("_tk1", "_tk2")).cast("long")
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("intersection", inter)
+        .withColumn(
+            "_union",
+            (F.size("_tk1") + F.size("_tk2")).cast("long") - F.col("intersection"),
+        )
+        .filter(F.col("intersection") * F.lit(den) >= F.col("_union") * F.lit(num))
+        .select(
+            "id1",
+            "id2",
+            F.size("_tk1").cast("long").alias("n1"),
+            F.size("_tk2").cast("long").alias("n2"),
+            "intersection",
+            (F.col("intersection").cast("double") / F.col("_union").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )

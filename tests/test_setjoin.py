@@ -1,0 +1,110 @@
+"""jaccard_join: exactness vs the naive quadratic join, filter losslessness."""
+
+import itertools
+import random
+
+import pytest
+
+from pprl_spark.operators.setjoin import jaccard_join
+
+
+def _naive(rows, t):
+    out = set()
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        sa, sb = set(a), set(b)
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        # same exact rational comparison as the operator
+        from fractions import Fraction
+
+        fr = Fraction(str(t))
+        if inter * fr.denominator >= union * fr.numerator:
+            out.add((min(i, j), max(i, j)))
+    return out
+
+
+def _spark_pairs(spark, rows, t, positional=True):
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<long>")
+    got = jaccard_join(df, threshold=t, positional=positional).collect()
+    return {(r.id1, r.id2) for r in got}, got
+
+
+@pytest.mark.parametrize("t", ["0.3", "0.5", "0.8", "1.0"])
+def test_matches_naive_join_random_sets(spark, t):
+    rng = random.Random(42)
+    rows = []
+    for i in range(120):
+        n = rng.randint(0, 12)
+        rows.append((i, sorted(rng.sample(range(40), n))))
+    got, full = _spark_pairs(spark, rows, t)
+    assert got == _naive(rows, t)
+    # reported jaccard is the exact ratio
+    by_id = {i: set(tk) for i, tk in rows}
+    for r in full:
+        sa, sb = by_id[r.id1], by_id[r.id2]
+        assert r.intersection == len(sa & sb)
+        assert r.jaccard == len(sa & sb) / len(sa | sb)
+
+
+def test_positional_filter_is_lossless(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, sorted(rng.sample(range(25), rng.randint(1, 10)))) for i in range(80)
+    ]
+    with_pos, _ = _spark_pairs(spark, rows, "0.4", positional=True)
+    without, _ = _spark_pairs(spark, rows, "0.4", positional=False)
+    assert with_pos == without
+
+
+def test_skewed_hub_token_still_exact(spark):
+    # every doc shares token 0 (a stopword-like hub); prefixes must
+    # still find the true matches among the rare tokens
+    rows = [(i, [0, 100 + i, 200 + i // 2]) for i in range(60)]
+    got, _ = _spark_pairs(spark, rows, "0.5")
+    assert got == _naive(rows, "0.5")
+
+
+def test_duplicate_tokens_and_exact_dupes(spark):
+    rows = [(1, [5, 5, 6]), (2, [6, 5]), (3, [7]), (4, [7])]
+    got, full = _spark_pairs(spark, rows, "1.0")
+    assert got == {(1, 2), (3, 4)}
+    assert all(r.jaccard == 1.0 for r in full)
+
+
+def test_bad_threshold_raises(spark):
+    df = spark.createDataFrame([(1, [1])], "doc_id long, tokens array<long>")
+    with pytest.raises(ValueError):
+        jaccard_join(df, threshold=0)
+
+
+def test_minhash_candidates_are_subset_of_exact(spark):
+    # minhash_near_duplicates verifies true Jaccard on its banded
+    # candidates, so its output must be a subset of the exact join's
+    # (equality iff banding had perfect recall on this input)
+    from pprl_spark.functions.text import shingle_hashes
+    from pprl_spark.operators.dedup import minhash_near_duplicates
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(150):
+        words = [rng.choice(vocab) for _ in range(rng.randint(5, 25))]
+        rows.append((2 * i, " ".join(words)))
+        if rng.random() < 0.4:  # perturbed near-copy
+            mut = list(words)
+            for _ in range(rng.randint(0, 3)):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((2 * i + 1, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    approx = {
+        (r.id1, r.id2)
+        for r in minhash_near_duplicates(
+            docs, k=2, threshold=0.4, bands=4, rows_per_band=2
+        ).collect()
+    }
+    toks = docs.select("doc_id", shingle_hashes("text", k=2).alias("tokens"))
+    exact = {(r.id1, r.id2) for r in jaccard_join(toks, threshold="0.4").collect()}
+    assert approx <= exact
+    assert exact  # non-vacuous: the synthetic corpus has near-dups
