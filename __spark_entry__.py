@@ -924,6 +924,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def corpus_profile(spark, sf_dir):
+        # ANALYZE-style per-column profile of the documents table: one
+        # scan (multi-distinct via Spark's Expand rewrite), 1-row agg
+        # pivoted to per-column rows with an inline explode — the
+        # null-rate / distinct-count / min-max report that decides
+        # scrub rules, broadcast-vs-shuffle and partition pruning
+        # before any 100 TB job launches.
+        from pprl_spark.operators.corpus import profile_columns
+
+        return profile_columns(
+            _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+
     def dedup_eval(spark, sf_dir):
         # pairwise clustering evaluation WITHOUT pair enumeration: P/R/F1
         # of the MinHash near-dup clusters against the exact-duplicate
@@ -1886,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clusters": delta_clusters,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_eval": dedup_eval,
+        "corpus_profile": corpus_profile,
         "spans_exact_dedup": spans_exact_dedup,
         "dedup_canonical": dedup_canonical,
         "sample_stratified": sample_stratified,
@@ -2968,6 +2982,15 @@ FROM documents d JOIN canon c USING (lang, source, n_chars)
             )
         ),
         "dedup_canonical": dedup_canonical_sql,
+        # per-column UNION ALL longhand of the single-pass profile
+        "corpus_profile": "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::VARCHAR AS min_val, max({c})::VARCHAR AS max_val
+FROM documents"""
+            for c in ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
         # pairwise P/R/F1 from contingency-table combinatorics: splice
         # the recursive-CTE clusters into cc, partition truth by the
         # normalized text (identical to the two-hash grouping modulo a

@@ -122,6 +122,8 @@ def main() -> None:
         # pairwise P/R/F1 vs exact-dup truth from contingency aggregates
         # (no pair enumeration; also rides the minhash pair memo)
         "dedup_eval": lambda s: q["dedup_eval"](s, SF_DIR).count(),
+        # single-pass per-column ANALYZE profile
+        "corpus_profile": lambda s: q["corpus_profile"](s, SF_DIR).count(),
         # corpus-statistics / hygiene passes (r5): heavy hitters,
         # benchmark-overlap decontamination, dictionary scrub, TF-IDF,
         # span-sequence dedup, token-budget sampling, quality trim

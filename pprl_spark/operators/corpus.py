@@ -30,7 +30,7 @@ training-data brief, mirroring the feature-extraction conventions of
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pprl_spark.functions.text import rolling_hash_col, word_shingles, words_col
@@ -384,3 +384,47 @@ def corpus_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_tokens",
         "n_chars",
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style per-column profile: one row per column with
+    (n_rows, n_nulls, n_distinct, min_val, max_val).
+
+    The pre-flight report before any join/blocking decision — null
+    rates decide scrub rules, distinct counts decide broadcast vs
+    shuffle, min/max bound partition pruning. Everything folds into a
+    SINGLE aggregation statement: Spark plans the N count(DISTINCT)
+    aggregates with one Expand pass (the standard multi-distinct
+    rewrite), so the corpus is read once; the 1-row result pivots to
+    per-column rows driver-free via an inline array explode.
+
+    min/max compute on the NATIVE type (numeric order for numerics,
+    lexicographic for strings) and cast to string only for the unified
+    report schema.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    aggs: list[Column] = []
+    for c in cols:
+        qc = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.sum(qc.isNull().cast("long")).alias(f"_nn_{c}"),
+            F.count_distinct(qc).alias(f"_nd_{c}"),
+            F.min(qc).cast("string").alias(f"_mn_{c}"),
+            F.max(qc).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"_n_{c}").cast("long").alias("n_rows"),
+                F.col(f"_nn_{c}").cast("long").alias("n_nulls"),
+                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_val"),
+                F.col(f"_mx_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

@@ -473,3 +473,19 @@ def test_cross_media_media_order_matters(spark):
     # same text, same media SET but different media ORDER -> 2 variants
     got = {r["doc_id"]: r["n_media_variants"] for r in cross_media_duplicates(df).collect()}
     assert got == {1: 2, 2: 2}
+
+
+def test_profile_columns_counts_nulls_and_extremes(spark):
+    from pprl_spark.operators.corpus import profile_columns
+
+    rows = [(1, "b", None), (2, None, 5), (3, "a", 9), (3, "a", None)]
+    df = spark.createDataFrame(rows, "id long, s string, v long")
+    got = {r.col_name: r for r in profile_columns(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert (got["id"].n_nulls, got["id"].n_distinct) == (0, 3)
+    assert (got["s"].n_nulls, got["s"].n_distinct) == (1, 2)
+    assert (got["v"].n_nulls, got["v"].n_distinct) == (2, 2)
+    # native-type order BEFORE the string cast: numeric min of v is "5"
+    assert (got["v"].min_val, got["v"].max_val) == ("5", "9")
+    assert (got["s"].min_val, got["s"].max_val) == ("a", "b")
