@@ -836,6 +836,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _floor6(F.col("jaccard")).alias("jaccard"),
         )
 
+    def dedup_delta(spark, sf_dir):
+        # write-once/probe-many DEDUP: docs with doc_id % 5 == 0 play
+        # the arriving batch, the rest the standing corpus whose MinHash
+        # index (shingles + band table) is built once; the probe adds
+        # delta-vs-corpus and delta-vs-delta pairs only — the corpus is
+        # never re-paired against itself. Same banding/threshold as
+        # dedup_minhash, so the oracle is dedup_minhash's SQL filtered
+        # to pairs with a delta endpoint (equivalence also pinned in
+        # tests/test_setjoin.py).
+        from pprl_spark.operators.dedup import delta_near_duplicates, minhash_index
+
+        docs = _docs(spark, sf_dir)
+        corpus = docs.where("doc_id % 5 != 0")
+        delta = docs.where("doc_id % 5 = 0")
+        idx = minhash_index(corpus, k=2, bands=4, rows_per_band=2)
+        out = delta_near_duplicates(
+            idx, delta, k=2, threshold=0.4, bands=4, rows_per_band=2
+        )
+        return out.select(
+            F.col("id1").cast("long"),
+            F.col("id2").cast("long"),
+            _floor6(F.col("jaccard")).alias("jaccard"),
+        )
+
     def dedup_simhash(spark, sf_dir):
         from pprl_spark.operators.dedup import simhash_col
 
@@ -1891,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_jw_pairs": pprl_jw_pairs,
         "dedup_minhash": dedup_minhash,
         "dedup_setjoin": dedup_setjoin,
+        "dedup_delta": dedup_delta,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
@@ -2938,6 +2963,13 @@ SELECT id1, id2, s1.n AS n1, s2.n AS n2, inter AS intersection,
 FROM pairs JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
 WHERE inter * 5 >= (s1.n + s2.n - inter) * 2
 """
+        ),
+        # the delta probe's contract: identical pairs to the full
+        # recompute, restricted to >= 1 delta endpoint
+        "dedup_delta": dedup_minhash_sql.replace(
+            "WHERE j >= 0.4",
+            "WHERE j >= 0.4 AND (id1 % 5 = 0 OR id2 % 5 = 0)",
+            1,
         ),
         "dedup_simhash": dedup_simhash_sql,
         "pprl_metaphone": metaphone_sql,

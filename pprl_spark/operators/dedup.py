@@ -606,3 +606,89 @@ def cross_media_duplicates(
     return keyed.join(groups, ["tfp1", "tfp2"]).select(
         "doc_id", "text_canonical_id", "n_text_copies", "n_media_variants"
     )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    materialize: str = "checkpoint",
+) -> tuple[DataFrame, DataFrame]:
+    """The standing MinHash index for write-once/probe-many dedup:
+    ``(base(doc_id, sh), band(doc_id, bk))``.
+
+    Pipeline callers materialize these ONCE for the corpus (checkpoint
+    here; a stage table / bucketed write in the pipeline) and probe
+    them with every arriving batch via ``delta_near_duplicates`` — the
+    dedup analog of the linkage delta probe
+    (``streaming/incremental.py::delta_candidates``): the corpus is
+    never re-shingled and never re-paired against itself.
+    """
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"), shingle_hashes(text_col, k).alias("sh")
+        )
+        .where(F.size("sh") > 0)
+        .withColumn("_sig", minhash_col(F.col("sh"), bands * rows_per_band))
+    )
+    base = _materialize(base, materialize)
+    band = base.select(
+        "doc_id",
+        F.explode(_band_keys_from_sig(F.col("_sig"), bands, rows_per_band)).alias("bk"),
+    )
+    return base.select("doc_id", "sh"), band
+
+
+def delta_near_duplicates(
+    corpus_index: tuple[DataFrame, DataFrame],
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    materialize: str = "checkpoint",
+) -> DataFrame:
+    """Near-dup pairs the ARRIVING batch adds: delta-vs-corpus and
+    delta-vs-delta, never corpus-vs-corpus (those are already known).
+
+    ``corpus_index`` comes from :func:`minhash_index` over the standing
+    corpus. The delta is indexed with the same parameters, its band
+    table probes ``corpus_band UNION delta_band``, and candidates
+    verify against exact shingle Jaccard. Output ``(id1, id2,
+    jaccard)`` with id1 < id2; every pair has >= 1 delta endpoint.
+
+    Equivalence contract (pinned in tests + the driver oracle): the
+    result equals ``minhash_near_duplicates(corpus UNION delta)``
+    filtered to pairs with a delta endpoint — banding, verification
+    and threshold semantics are shared, only the candidate-generation
+    work shrinks from O(corpus bands²) to O(delta-touched bands).
+    """
+    corpus_base, corpus_band = corpus_index
+    delta_base, delta_band = minhash_index(
+        delta, text_col, id_col, k, bands, rows_per_band, materialize
+    )
+    all_band = corpus_band.unionByName(delta_band)
+    cand = (
+        delta_band.select(F.col("doc_id").alias("ida"), "bk")
+        .join(all_band.select(F.col("doc_id").alias("idb"), "bk"), "bk")
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("id1"), F.greatest("ida", "idb").alias("id2")
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    all_base = corpus_base.unionByName(delta_base.select("doc_id", "sh"))
+    sh1 = all_base.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    sh2 = all_base.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    return (
+        cand.join(sh1, "id1")
+        .join(sh2, "id2")
+        .withColumn("jaccard", _jaccard(F.col("sh1"), F.col("sh2")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )

@@ -108,3 +108,42 @@ def test_minhash_candidates_are_subset_of_exact(spark):
     exact = {(r.id1, r.id2) for r in jaccard_join(toks, threshold="0.4").collect()}
     assert approx <= exact
     assert exact  # non-vacuous: the synthetic corpus has near-dups
+
+
+def test_delta_near_duplicates_equals_filtered_full_recompute(spark):
+    # the delta probe must equal the full recompute restricted to pairs
+    # with >= 1 delta endpoint: banding/verify semantics are shared,
+    # only candidate generation shrinks
+    from pprl_spark.operators.dedup import (
+        delta_near_duplicates,
+        minhash_index,
+        minhash_near_duplicates,
+    )
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(200):
+        words = [rng.choice(vocab) for _ in range(rng.randint(4, 15))]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.35:
+            mut = list(words)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    is_delta = "doc_id % 5 = 0"
+    corpus, delta = docs.where(f"NOT ({is_delta})"), docs.where(is_delta)
+
+    kw = dict(k=2, bands=4, rows_per_band=2)
+    idx = minhash_index(corpus, **kw)
+    got = {
+        (r.id1, r.id2, r.jaccard)
+        for r in delta_near_duplicates(idx, delta, threshold=0.4, **kw).collect()
+    }
+    full = {
+        (r.id1, r.id2, r.jaccard)
+        for r in minhash_near_duplicates(docs, threshold=0.4, **kw).collect()
+        if r.id1 % 5 == 0 or r.id2 % 5 == 0
+    }
+    assert got == full
+    assert got  # non-vacuous
