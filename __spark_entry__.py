@@ -948,6 +948,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def text_bigram_lm(spark, sf_dir):
+        # bigram-LM cross-entropy scoring: per-doc mean conditional
+        # surprisal -ln p(w_i | w_{i-1}) in integer micro-nats, the
+        # order-2 upgrade of text_surprisal (sensitive to word ORDER,
+        # which the unigram mean cannot see). Context totals come from
+        # a window over the bigram table itself — no second corpus
+        # scan; the vocab joins back broadcast. Same ln()/floor parity
+        # contract as the unigram oracle.
+        from pprl_spark.operators.corpus import bigram_scores, bigram_surprisals
+
+        docs = _docs(spark, sf_dir)
+        vocab = bigram_surprisals(docs)
+        return bigram_scores(docs, vocab).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("sum_b").cast("long").alias("sum_b"),
+            F.col("mean_b").cast("long").alias("mean_b"),
+        )
+
     def corpus_profile(spark, sf_dir):
         # ANALYZE-style per-column profile of the documents table: one
         # scan (multi-distinct via Spark's Expand rewrite), 1-row agg
@@ -1925,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_eval": dedup_eval,
         "corpus_profile": corpus_profile,
+        "text_bigram_lm": text_bigram_lm,
         "spans_exact_dedup": spans_exact_dedup,
         "dedup_canonical": dedup_canonical,
         "sample_stratified": sample_stratified,
@@ -3014,6 +3034,40 @@ FROM documents d JOIN canon c USING (lang, source, n_chars)
             )
         ),
         "dedup_canonical": dedup_canonical_sql,
+        # bigram conditional-surprisal LM twin: identical micro-nat
+        # floor at the vocab table, window context totals, integer sums
+        "text_bigram_lm": r"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                     ELSE [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+                END) AS bigram
+  FROM w
+),
+counts AS (SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY bigram),
+vocab AS (
+  SELECT bigram, cnt,
+         sum(cnt) OVER (PARTITION BY string_split(bigram, ' ')[1])::BIGINT AS ctx_cnt
+  FROM counts
+),
+sv AS (
+  SELECT bigram,
+         floor(ln(ctx_cnt::DOUBLE / cnt::DOUBLE) * 1000000)::BIGINT AS surprisal_b
+  FROM vocab
+),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(surprisal_b)::BIGINT AS sum_b
+  FROM bg JOIN sv USING (bigram) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, sum_b,
+       floor(sum_b::DOUBLE / n_bigrams::DOUBLE)::BIGINT AS mean_b
+FROM scored
+""",
         # per-column UNION ALL longhand of the single-pass profile
         "corpus_profile": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,

@@ -126,6 +126,8 @@ def main() -> None:
         "dedup_eval": lambda s: q["dedup_eval"](s, SF_DIR).count(),
         # single-pass per-column ANALYZE profile
         "corpus_profile": lambda s: q["corpus_profile"](s, SF_DIR).count(),
+        # bigram-LM cross-entropy scoring (order-2 CCNet filter)
+        "text_bigram_lm": lambda s: q["text_bigram_lm"](s, SF_DIR).count(),
         # corpus-statistics / hygiene passes (r5): heavy hitters,
         # benchmark-overlap decontamination, dictionary scrub, TF-IDF,
         # span-sequence dedup, token-budget sampling, quality trim

@@ -428,3 +428,97 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def bigrams_col(text_col: str | Column) -> Column:
+    """Space-joined word bigrams; EMPTY for docs with < 2 tokens.
+
+    Distinct from ``word_shingles(k=2)``, whose short-doc fallback
+    (the whole text as one shingle) is right for dedup but wrong for a
+    bigram LM — a one-word document has no bigram events.
+    """
+    w = words_col(text_col)
+    n = F.size(w)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            lambda i: F.array_join(F.slice(w, i + 1, 2), " "),
+        )
+    )
+
+
+def bigram_surprisals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram conditional-surprisal table -> (bigram, cnt, ctx_cnt,
+    surprisal_b).
+
+    The order-2 upgrade of :func:`unigram_surprisals`:
+    ``surprisal_b = floor(1e6 * ln(ctx_cnt / cnt))`` is the integer
+    micro-nat −ln p(w2 | w1), where ``ctx_cnt`` is the count of
+    bigrams STARTING with w1 — so the conditional distribution
+    normalizes exactly (Σ_w2 cnt/ctx_cnt = 1) with no smoothing
+    artifacts. Same exactness contract as the unigram table: integers
+    from the vocab table onward, ln() parity caveat checked by the
+    driver oracle on the fixed grids.
+
+    Scale shape: one map-side-combined bigram-count groupBy, then the
+    context totals come from a WINDOW over w1 on the (small) bigram
+    table itself — no second corpus scan, no join.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(bigrams_col(text_col)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_w1", F.split(F.col("bigram"), " ").getItem(0))
+    )
+    ctx = counts.withColumn(
+        "ctx_cnt", F.sum("cnt").over(Window.partitionBy("_w1"))
+    )
+    return ctx.select(
+        "bigram",
+        "cnt",
+        F.col("ctx_cnt").cast("long").alias("ctx_cnt"),
+        F.floor(
+            F.log(F.col("ctx_cnt").cast("double") / F.col("cnt").cast("double"))
+            * F.lit(1e6)
+        ).alias("surprisal_b"),
+    )
+
+
+def bigram_scores(
+    docs: DataFrame,
+    bigram_vocab: DataFrame,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document mean bigram conditional surprisal -> (doc_id,
+    n_bigrams, sum_b, mean_b).
+
+    The CCNet perplexity filter one order up from
+    :func:`surprisal_scores`: mean −ln p(w_i | w_{i-1}) in integer
+    micro-nats (the bigram-LM cross-entropy of the document against
+    the corpus model). Repetitive/templated text scores near zero,
+    incoherent token soup scores high — a sharper fluency signal than
+    the unigram mean, which is blind to word ORDER. Inner-join
+    semantics: only in-vocab bigrams are scored and counted; docs with
+    no scored bigram are dropped (no defined cross-entropy).
+    ``floor(sum/n)`` exactness argument as in :func:`surprisal_scores`.
+    """
+    v = bigram_vocab.select("bigram", "surprisal_b")
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    ex = docs.select("doc_id", F.explode(bigrams_col(text_col)).alias("bigram"))
+    return (
+        ex.join(v, "bigram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("surprisal_b").alias("sum_b"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_b",
+            F.floor(
+                F.col("sum_b").cast("double") / F.col("n_bigrams").cast("double")
+            ).alias("mean_b"),
+        )
+    )

@@ -489,3 +489,27 @@ def test_profile_columns_counts_nulls_and_extremes(spark):
     # native-type order BEFORE the string cast: numeric min of v is "5"
     assert (got["v"].min_val, got["v"].max_val) == ("5", "9")
     assert (got["s"].min_val, got["s"].max_val) == ("a", "b")
+
+
+def test_bigram_lm_hand_computed(spark):
+    import math
+
+    from pprl_spark.operators.corpus import bigram_scores, bigram_surprisals
+
+    rows = [(1, "a b a c"), (2, "a b"), (3, "x")]  # doc 3: no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = {r.bigram: r for r in bigram_surprisals(df).collect()}
+    # counts: ab=2, ba=1, ac=1; ctx a=3, b=1
+    assert (vocab["a b"].cnt, vocab["a b"].ctx_cnt) == (2, 3)
+    assert vocab["a b"].surprisal_b == math.floor(1e6 * math.log(3 / 2))
+    assert vocab["b a"].surprisal_b == 0  # p(a|b) = 1
+    assert vocab["a c"].surprisal_b == math.floor(1e6 * math.log(3))
+    # conditional distribution normalizes exactly: sum cnt per ctx == ctx_cnt
+    assert vocab["a b"].cnt + vocab["a c"].cnt == vocab["a b"].ctx_cnt
+
+    got = {r.doc_id: r for r in bigram_scores(df, bigram_surprisals(df)).collect()}
+    assert set(got) == {1, 2}  # the 1-word doc has no cross-entropy
+    s_ab, s_ac = vocab["a b"].surprisal_b, vocab["a c"].surprisal_b
+    assert (got[1].n_bigrams, got[1].sum_b) == (3, s_ab + 0 + s_ac)
+    assert got[1].mean_b == (s_ab + s_ac) // 3
+    assert (got[2].n_bigrams, got[2].mean_b) == (1, s_ab)
