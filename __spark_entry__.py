@@ -967,6 +967,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("mean_b").cast("long").alias("mean_b"),
         )
 
+    def vocab_pmi(spark, sf_dir):
+        # collocation extraction: top-50 bigrams by pointwise mutual
+        # information (micro-nat integer), marginals from windows over
+        # the bigram-type table (no second corpus scan), N broadcast as
+        # a 1-row agg, min_count=3 hapax guard, deterministic
+        # (pmi desc, bigram) total order -> TakeOrderedAndProject.
+        from pprl_spark.operators.corpus import pmi_collocations
+
+        return pmi_collocations(_docs(spark, sf_dir), min_count=3, k=50).select(
+            "bigram",
+            F.col("cnt").cast("long").alias("cnt"),
+            "c_left",
+            "c_right",
+            F.col("pmi_u").cast("long").alias("pmi_u"),
+        )
+
     def corpus_profile(spark, sf_dir):
         # ANALYZE-style per-column profile of the documents table: one
         # scan (multi-distinct via Spark's Expand rewrite), 1-row agg
@@ -1945,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": dedup_eval,
         "corpus_profile": corpus_profile,
         "text_bigram_lm": text_bigram_lm,
+        "vocab_pmi": vocab_pmi,
         "spans_exact_dedup": spans_exact_dedup,
         "dedup_canonical": dedup_canonical,
         "sample_stratified": sample_stratified,
@@ -3067,6 +3084,36 @@ scored AS (
 SELECT doc_id, n_bigrams, sum_b,
        floor(sum_b::DOUBLE / n_bigrams::DOUBLE)::BIGINT AS mean_b
 FROM scored
+""",
+        # PMI collocations twin: same bigram CTE, window marginals,
+        # double-arithmetic ratio ((N*c12)/(cl*cr) — three correctly
+        # rounded ops, overflow-free), micro-nat floor, ordered top-50
+        "vocab_pmi": r"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                     ELSE [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+                END) AS bigram
+  FROM w
+),
+counts AS (SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY bigram),
+marg AS (
+  SELECT bigram, cnt,
+         sum(cnt) OVER (PARTITION BY string_split(bigram, ' ')[1])::BIGINT AS c_left,
+         sum(cnt) OVER (PARTITION BY string_split(bigram, ' ')[2])::BIGINT AS c_right
+  FROM counts
+),
+tot AS (SELECT sum(cnt)::DOUBLE AS n FROM counts)
+SELECT bigram, cnt, c_left, c_right,
+       floor(ln((tot.n * cnt::DOUBLE) / (c_left::DOUBLE * c_right::DOUBLE)) * 1000000)::BIGINT AS pmi_u
+FROM marg, tot
+WHERE cnt >= 3
+ORDER BY pmi_u DESC, bigram ASC
+LIMIT 50
 """,
         # per-column UNION ALL longhand of the single-pass profile
         "corpus_profile": "\nUNION ALL\n".join(

@@ -128,6 +128,8 @@ def main() -> None:
         "corpus_profile": lambda s: q["corpus_profile"](s, SF_DIR).count(),
         # bigram-LM cross-entropy scoring (order-2 CCNet filter)
         "text_bigram_lm": lambda s: q["text_bigram_lm"](s, SF_DIR).count(),
+        # PMI collocation top-k
+        "vocab_pmi": lambda s: q["vocab_pmi"](s, SF_DIR).count(),
         # corpus-statistics / hygiene passes (r5): heavy hitters,
         # benchmark-overlap decontamination, dictionary scrub, TF-IDF,
         # span-sequence dedup, token-budget sampling, quality trim

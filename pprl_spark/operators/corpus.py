@@ -522,3 +522,65 @@ def bigram_scores(
             ).alias("mean_b"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information ->
+    (bigram, cnt, c_left, c_right, pmi_u).
+
+    PMI(w1, w2) = ln( N·c12 / (c_left(w1)·c_right(w2)) ) over bigram
+    events, with the marginals taken from the bigram table itself
+    (c_left = Σ c12 over w1-rows, c_right = Σ over w2-rows) so the
+    measure is exactly normalized and needs NO second corpus scan:
+    after the one bigram-count groupBy, both marginals are windows over
+    the (types-sized) count table and N is a 1-row broadcast aggregate
+    — never an unpartitioned window, which would ship every bigram type
+    to one task.
+
+    ``pmi_u`` is integer micro-nats: the ratio is computed as
+    ``(N·c12) / (c_left·c_right)`` in DOUBLE (three correctly-rounded
+    ops on exactly-converted integers — bit-identical across engines,
+    and immune to the BIGINT overflow ``c_left·c_right`` would hit at
+    corpus scale), then floor(1e6·ln). ``min_count`` drops hapax noise
+    (PMI's classic failure mode: a 1-occurrence pair of two rare words
+    maxes the score); the top-k under (pmi_u desc, bigram asc) is a
+    deterministic total order compiled to TakeOrderedAndProject.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(bigrams_col(text_col)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_w1", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("_w2", F.split(F.col("bigram"), " ").getItem(1))
+    )
+    counts = counts.withColumn(
+        "c_left", F.sum("cnt").over(Window.partitionBy("_w1"))
+    ).withColumn("c_right", F.sum("cnt").over(Window.partitionBy("_w2")))
+    total = counts.agg(F.sum("cnt").cast("double").alias("_n"))
+    scored = (
+        counts.where(F.col("cnt") >= min_count)
+        .join(F.broadcast(total))
+        .select(
+            "bigram",
+            "cnt",
+            F.col("c_left").cast("long").alias("c_left"),
+            F.col("c_right").cast("long").alias("c_right"),
+            F.floor(
+                F.log(
+                    (F.col("_n") * F.col("cnt").cast("double"))
+                    / (F.col("c_left").cast("double") * F.col("c_right").cast("double"))
+                )
+                * F.lit(1e6)
+            ).alias("pmi_u"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_u"), F.asc("bigram")).limit(k)

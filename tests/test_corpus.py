@@ -513,3 +513,40 @@ def test_bigram_lm_hand_computed(spark):
     assert (got[1].n_bigrams, got[1].sum_b) == (3, s_ab + 0 + s_ac)
     assert got[1].mean_b == (s_ab + s_ac) // 3
     assert (got[2].n_bigrams, got[2].mean_b) == (1, s_ab)
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from pprl_spark.operators.corpus import pmi_collocations
+
+    # bigram events: "a b" x3, "a c" x1, "c a" x1  (from "a b a b a b", "a c a")
+    rows = [(1, "a b a b a b"), (2, "a c a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.bigram: r for r in pmi_collocations(df, min_count=1, k=10).collect()}
+    # events: d1 -> ab, ba, ab, ba, ab; d2 -> ac, ca ; N = 7
+    # counts: ab=3, ba=2, ac=1, ca=1
+    # c_left:  a=ab+ac=4, b=ba=2, c=ca=1
+    # c_right: b=3, a=ba+ca=3, c=1
+    n = 7.0
+    assert got["a b"].cnt == 3 and got["a b"].c_left == 4 and got["a b"].c_right == 3
+    assert got["a b"].pmi_u == math.floor(1e6 * math.log((n * 3) / (4 * 3)))
+    assert got["c a"].pmi_u == math.floor(1e6 * math.log((n * 1) / (1 * 3)))
+    # min_count guard drops the hapax pairs
+    kept = {r.bigram for r in pmi_collocations(df, min_count=2, k=10).collect()}
+    assert kept == {"a b", "b a"}
+
+
+def test_pmi_partitioning_independent(spark):
+    from pprl_spark.operators.corpus import pmi_collocations
+
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, " ".join(rng.choice("abcdefgh") for _ in range(20))) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = pmi_collocations(df.repartition(1), min_count=2, k=15).collect()
+    many = pmi_collocations(df.repartition(13), min_count=2, k=15).collect()
+    assert [(r.bigram, r.pmi_u) for r in one] == [(r.bigram, r.pmi_u) for r in many]
