@@ -160,3 +160,35 @@ def register_bucketed_table(
         f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
     )
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+) -> None:
+    """Pruning-friendly parquet layout: hive-partition directories on
+    low-cardinality keys + row-group clustering on ``sort_by``.
+
+    The read-side payoff (plan-pinned in ``tests/test_layout.py``):
+
+    - a filter on a ``partition_by`` column becomes a PartitionFilter —
+      pruned DIRECTORIES, zero I/O for excluded partitions;
+    - a range filter on a ``sort_by`` column becomes a PushedFilter
+      that parquet row-group min/max stats can skip, because sorting
+      within each output file makes the stats tight instead of
+      full-range.
+
+    One repartition on the partition keys keeps one writer task per
+    partition (no tasks×partitions small-file blowup — same rationale
+    as ``write_bucketed_blocks``); ``sortWithinPartitions`` then orders
+    rows inside each task's file so row-group stats are monotone.
+    Partition keys must be low-cardinality (lang, source, date — not
+    doc_id): each distinct tuple is a directory, and 10^6 directories
+    is a metastore outage, not a layout.
+    """
+    out = df.repartition(*[F.col(c) for c in partition_by])
+    if sort_by:
+        out = out.sortWithinPartitions(*partition_by, *sort_by)
+    out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
