@@ -983,6 +983,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("pmi_u").cast("long").alias("pmi_u"),
         )
 
+    def corpus_histogram(spark, sf_dir):
+        # equi-width doc-length histogram with integer-exact bucketing
+        # over data-derived bounds (broadcast 1-row min/max agg) — the
+        # skew-observability report for any numeric column.
+        from pprl_spark.operators.corpus import equiwidth_histogram
+
+        return equiwidth_histogram(_docs(spark, sf_dir), "n_chars", n_buckets=16)
+
     def corpus_profile(spark, sf_dir):
         # ANALYZE-style per-column profile of the documents table: one
         # scan (multi-distinct via Spark's Expand rewrite), 1-row agg
@@ -1960,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_eval": dedup_eval,
         "corpus_profile": corpus_profile,
+        "corpus_histogram": corpus_histogram,
         "text_bigram_lm": text_bigram_lm,
         "vocab_pmi": vocab_pmi,
         "spans_exact_dedup": spans_exact_dedup,
@@ -3114,6 +3123,14 @@ FROM marg, tot
 WHERE cnt >= 3
 ORDER BY pmi_u DESC, bigram ASC
 LIMIT 50
+""",
+        # identical integer bucket arithmetic over the same bounds
+        "corpus_histogram": """
+WITH b AS (SELECT min(n_chars)::BIGINT AS lo, max(n_chars)::BIGINT AS hi FROM documents)
+SELECT ((n_chars - lo) * 16 // (hi - lo + 1))::BIGINT AS bucket,
+       count(*)::BIGINT AS n_rows,
+       min(n_chars)::BIGINT AS lo_v, max(n_chars)::BIGINT AS hi_v
+FROM documents, b GROUP BY 1
 """,
         # per-column UNION ALL longhand of the single-pass profile
         "corpus_profile": "\nUNION ALL\n".join(

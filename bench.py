@@ -130,6 +130,8 @@ def main() -> None:
         "text_bigram_lm": lambda s: q["text_bigram_lm"](s, SF_DIR).count(),
         # PMI collocation top-k
         "vocab_pmi": lambda s: q["vocab_pmi"](s, SF_DIR).count(),
+        # integer-exact equi-width histogram
+        "corpus_histogram": lambda s: q["corpus_histogram"](s, SF_DIR).count(),
         # corpus-statistics / hygiene passes (r5): heavy hitters,
         # benchmark-overlap decontamination, dictionary scrub, TF-IDF,
         # span-sequence dedup, token-budget sampling, quality trim

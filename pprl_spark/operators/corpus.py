@@ -584,3 +584,43 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi_u"), F.asc("bigram")).limit(k)
+
+
+def equiwidth_histogram(
+    df: DataFrame, value_col: str, n_buckets: int = 20
+) -> DataFrame:
+    """Equi-width histogram of an integer column -> (bucket, n_rows,
+    lo_v, hi_v), with data-derived bounds.
+
+    The distribution report behind skew decisions (doc lengths, block
+    sizes, cluster sizes). Bounds come from a 1-row min/max aggregate
+    broadcast back; the bucket index is PURE INTEGER arithmetic —
+    ``((v - lo) * nb) DIV (hi - lo + 1)`` over the half-open span
+    [lo, hi+1) — so every engine buckets identically (float widths
+    put boundary values in different buckets per libm). Empty buckets
+    are absent (join a range() spine to densify if needed). Two scans
+    of the value column, one map-side-combined groupBy whose key space
+    is ``n_buckets``.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    v = F.col(value_col).cast("long")
+    bounds = df.agg(
+        F.min(v).cast("long").alias("_lo"), F.max(v).cast("long").alias("_hi")
+    )
+    return (
+        df.select(v.alias("_v"))
+        .join(F.broadcast(bounds))
+        .select(
+            F.expr(f"CAST(((_v - _lo) * {n_buckets}) DIV (_hi - _lo + 1) AS BIGINT)").alias(
+                "bucket"
+            ),
+            "_v",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("_v").alias("lo_v"),
+            F.max("_v").alias("hi_v"),
+        )
+    )

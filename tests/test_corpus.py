@@ -550,3 +550,18 @@ def test_pmi_partitioning_independent(spark):
     one = pmi_collocations(df.repartition(1), min_count=2, k=15).collect()
     many = pmi_collocations(df.repartition(13), min_count=2, k=15).collect()
     assert [(r.bigram, r.pmi_u) for r in one] == [(r.bigram, r.pmi_u) for r in many]
+
+
+def test_equiwidth_histogram_integer_bucketing(spark):
+    from pprl_spark.operators.corpus import equiwidth_histogram
+
+    rows = [(i, v) for i, v in enumerate([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9])]
+    df = spark.createDataFrame(rows, "doc_id long, n int")
+    got = {r.bucket: r for r in equiwidth_histogram(df, "n", n_buckets=5).collect()}
+    # span [0, 10), width 2: bucket i holds {2i, 2i+1}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert (got[4].n_rows, got[4].lo_v, got[4].hi_v) == (4, 8, 9)
+    assert (got[0].n_rows, got[0].lo_v, got[0].hi_v) == (2, 0, 1)
+    # extremes land inside the range: max value in last bucket, min in first
+    total = sum(r.n_rows for r in got.values())
+    assert total == 12
