@@ -8,7 +8,7 @@ with `/root/reference/src/pprl/embedder/features.py` is pinned
 
 import string
 
-from hypothesis import given
+from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from pprl_spark.functions import tokens
@@ -158,6 +158,10 @@ _DATE_FORMATS = [
     st.sampled_from(_DATE_FORMATS),
     st.booleans(),
 )
+# no deadline: the first example pays pandas' format-inference warm-up
+# (~400ms under a loaded box), which hypothesis otherwise flags as a
+# flaky-timing failure when the suite shares the host with Spark jobs
+@settings(deadline=None)
 def test_dob_features_pandas_parity(date, fmt, dayfirst):
     import pandas as pd
 
