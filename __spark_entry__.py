@@ -983,6 +983,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("pmi_u").cast("long").alias("pmi_u"),
         )
 
+    def layout_zorder(spark, sf_dir):
+        # Morton (Z-order) layout key over (doc_id, n_chars): the
+        # multi-dimension clustering key Delta/Iceberg OPTIMIZE ZORDER
+        # computes, as a plain codegen'd OR-chain of shift/mask terms.
+        # Sorting files by it gives row-group min/max locality on BOTH
+        # columns (see sources.write_partitioned + functions/layout.py).
+        from pprl_spark.functions.layout import zorder_key
+
+        return _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            zorder_key("doc_id", "n_chars", bits=16).alias("zkey"),
+        )
+
     def corpus_histogram(spark, sf_dir):
         # equi-width doc-length histogram with integer-exact bucketing
         # over data-derived bounds (broadcast 1-row min/max agg) — the
@@ -1969,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval": dedup_eval,
         "corpus_profile": corpus_profile,
         "corpus_histogram": corpus_histogram,
+        "layout_zorder": layout_zorder,
         "text_bigram_lm": text_bigram_lm,
         "vocab_pmi": vocab_pmi,
         "spans_exact_dedup": spans_exact_dedup,
@@ -2015,6 +2030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pprl_spark.functions.layout import zorder_key_sql
+
     grams_exploded = f"WITH grams AS ({SQL_GRAMS}) SELECT doc_id, unnest(feats) AS gram FROM grams"
 
     bloom_embed = (
@@ -3124,6 +3141,13 @@ WHERE cnt >= 3
 ORDER BY pmi_u DESC, bigram ASC
 LIMIT 50
 """,
+        # Morton key twin GENERATED from the same bit-term loop as the
+        # Spark expression (functions/layout.py) — the two cannot drift
+        "layout_zorder": (
+            "SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars, "
+            + zorder_key_sql("doc_id", "n_chars", 16)
+            + "::BIGINT AS zkey FROM documents"
+        ),
         # identical integer bucket arithmetic over the same bounds
         "corpus_histogram": """
 WITH b AS (SELECT min(n_chars)::BIGINT AS lo, max(n_chars)::BIGINT AS hi FROM documents)

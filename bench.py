@@ -132,6 +132,8 @@ def main() -> None:
         "vocab_pmi": lambda s: q["vocab_pmi"](s, SF_DIR).count(),
         # integer-exact equi-width histogram
         "corpus_histogram": lambda s: q["corpus_histogram"](s, SF_DIR).count(),
+        # codegen'd Morton layout key
+        "layout_zorder": lambda s: q["layout_zorder"](s, SF_DIR).count(),
         # corpus-statistics / hygiene passes (r5): heavy hitters,
         # benchmark-overlap decontamination, dictionary scrub, TF-IDF,
         # span-sequence dedup, token-budget sampling, quality trim
