@@ -983,6 +983,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("pmi_u").cast("long").alias("pmi_u"),
         )
 
+    def pprl_soundex(spark, sf_dir):
+        # American Soundex blocking codes of the first 3 words — the
+        # third phonetic key next to double metaphone (Python kernel)
+        # and the pure-SQL twin proves the H/W-transparency fold is
+        # engine-exact (classic vectors pinned in tests/test_soundex.py)
+        from pprl_spark.functions.phonetic import soundex_col
+
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(F.slice(TXT.words_col("text"), 1, 3)).alias("pos", "word"),
+        )
+        return docs.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            soundex_col(F.col("word")).alias("sx"),
+        )
+
     def layout_zorder(spark, sf_dir):
         # Morton (Z-order) layout key over (doc_id, n_chars): the
         # multi-dimension clustering key Delta/Iceberg OPTIMIZE ZORDER
@@ -1984,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": corpus_profile,
         "corpus_histogram": corpus_histogram,
         "layout_zorder": layout_zorder,
+        "pprl_soundex": pprl_soundex,
         "text_bigram_lm": text_bigram_lm,
         "vocab_pmi": vocab_pmi,
         "spans_exact_dedup": spans_exact_dedup,
@@ -2031,8 +2049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from pprl_spark.functions.layout import zorder_key_sql
+    from pprl_spark.functions.phonetic import soundex_sql
 
-    grams_exploded = f"WITH grams AS ({SQL_GRAMS}) SELECT doc_id, unnest(feats) AS gram FROM grams"
+    grams_exploded =f"WITH grams AS ({SQL_GRAMS}) SELECT doc_id, unnest(feats) AS gram FROM grams"
 
     bloom_embed = (
         SQL_BLOOM + "SELECT doc_id, unnest(bf) AS bf_idx FROM per_doc"
@@ -3141,6 +3160,25 @@ WHERE cnt >= 3
 ORDER BY pmi_u DESC, bigram ASC
 LIMIT 50
 """,
+        # own-soundex twin: fold generated from the same digit table /
+        # spec as the Spark expression (functions/phonetic.py)
+        "pprl_soundex": (
+            r"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+e0 AS (
+  SELECT doc_id,
+         unnest([{'p': i - 1, 'word': w[i]} FOR i IN range(1, least(len(w), 3) + 1)]) AS u
+  FROM w
+),
+e AS (SELECT doc_id, u.p::BIGINT AS pos, u.word AS word FROM e0)
+SELECT doc_id, pos, """
+            + soundex_sql("word")
+            + " AS sx FROM e"
+        ),
         # Morton key twin GENERATED from the same bit-term loop as the
         # Spark expression (functions/layout.py) — the two cannot drift
         "layout_zorder": (

@@ -134,6 +134,8 @@ def main() -> None:
         "corpus_histogram": lambda s: q["corpus_histogram"](s, SF_DIR).count(),
         # codegen'd Morton layout key
         "layout_zorder": lambda s: q["layout_zorder"](s, SF_DIR).count(),
+        # own-soundex fold (JVM, no UDF)
+        "pprl_soundex": lambda s: q["pprl_soundex"](s, SF_DIR).count(),
         # corpus-statistics / hygiene passes (r5): heavy hitters,
         # benchmark-overlap decontamination, dictionary scrub, TF-IDF,
         # span-sequence dedup, token-budget sampling, quality trim

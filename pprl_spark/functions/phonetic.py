@@ -501,3 +501,69 @@ def double_metaphone(value: str) -> tuple[str, str]:
     p = "".join(primary)
     s = "".join(secondary)
     return (p, "" if s == p else s)
+
+
+# ---------------------------------------------------------------------------
+# American Soundex as a pure column expression (no UDF) + generated SQL twin.
+# ---------------------------------------------------------------------------
+# Letter -> digit map (classic Russell/American table); '7' marks the
+# H/W "transparent" letters, '0' the adjacency-breaking vowels+Y. Both
+# the Spark expression and the SQL twin are generated from THIS string,
+# so the two implementations cannot drift.
+_SX_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SX_DIGITS = "01230127022455012623017202"
+
+
+def soundex_col(col):
+    """American Soundex of a string column as a codegen'd fold — the
+    third phonetic blocking key next to double metaphone (kernel) and
+    Jaro-Winkler (rescoring): cheap, JVM-side, join-key friendly.
+
+    Spec (implemented identically in :func:`soundex_sql`): uppercase,
+    strip non-A-Z; keep the first letter; map every letter through the
+    digit table; fold left-to-right with H/W transparent (previous code
+    survives across them — 'Ashcraft' -> A261, not A226), vowels
+    breaking adjacency, and adjacent equal digits collapsed (the first
+    letter's own code seeds the collapse: 'Pfister' -> P236); first
+    three surviving digits, zero-padded. Empty/no-alpha input -> ''.
+
+    The sequential state (previous code) rides a string accumulator in
+    ``F.aggregate``: acc = prev_digit || emitted_digits.
+    """
+    from pyspark.sql import functions as F
+
+    s = F.regexp_replace(F.upper(col), "[^A-Z]", "")
+    digits = F.translate(s, _SX_LETTERS, _SX_DIGITS)
+    chars = F.split(digits, "")
+    rest = F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0)))
+    _END = 1 << 20
+
+    def fold(acc, c):
+        prev = F.substring(acc, 1, 1)
+        out = F.substring(acc, 2, _END)
+        return (
+            F.when(c == F.lit("7"), acc)
+            .when(c == F.lit("0"), F.concat(F.lit("0"), out))
+            .when(c == prev, acc)
+            .otherwise(F.concat(c, out, c))
+        )
+
+    folded = F.aggregate(rest, F.substring(digits, 1, 1), fold)
+    code = F.concat(
+        F.substring(s, 1, 1), F.rpad(F.substring(folded, 2, 3), 3, "0")
+    )
+    return F.when(F.length(s) > 0, code).otherwise(F.lit(""))
+
+
+def soundex_sql(expr: str) -> str:
+    """The identical Soundex as portable SQL text (DuckDB oracle twin,
+    generated from the same digit table and fold spec)."""
+    return f"""(CASE WHEN length(regexp_replace(upper({expr}), '[^A-Z]', '', 'g')) = 0 THEN ''
+ELSE (SELECT s[1] || rpad(f[2:4], 3, '0') FROM (
+  SELECT s, list_reduce(string_split(translate(s, '{_SX_LETTERS}', '{_SX_DIGITS}'), ''),
+    (a, c) -> CASE WHEN c = '7' THEN a
+                   WHEN c = '0' THEN '0' || a[2:]
+                   WHEN c = a[1] THEN a
+                   ELSE c || a[2:] || c END) AS f
+  FROM (SELECT regexp_replace(upper({expr}), '[^A-Z]', '', 'g') AS s)
+)) END)"""
