@@ -413,3 +413,74 @@ def asof_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_near_duplicates(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_index: tuple[DataFrame, DataFrame],
+    schema: str = "doc_id long, ts timestamp, text string",
+    k: int = 3,
+    threshold: float = 0.7,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.delta_near_duplicates``,
+    DELTA-vs-CORPUS only: arriving documents probe a STATIC standing
+    MinHash index (from ``dedup.minhash_index``) as they land.
+
+    Everything on the hot path is stateless: the arriving doc's
+    shingles, signature and band keys are per-row expressions; the
+    band probe and the corpus-shingle fetch are stream-static
+    broadcast-able equi-joins. The ONLY state is the per-pair dedupe
+    across band multiplicity, and it is bounded two ways: the
+    ``threshold`` filter runs BEFORE the grouping (state holds only
+    near-duplicate pairs — rare by construction, same trick as
+    ``stream_decontaminate``'s contaminated-only state), and the
+    event-time window under ``watermark`` evicts finished rows (a
+    doc's band keys all travel in its one input row, so its pairs
+    complete within the batch that carries it).
+
+    Delta-vs-delta pairs are deliberately out of scope here (a
+    stream-stream self-join over all history is the dense-matrix
+    problem again); run the batch ``delta_near_duplicates`` on the
+    accumulated batch for those, exactly like the linkage delta path.
+    Returns ``(doc_id, corpus_id, jaccard)``.
+    """
+    from pprl_spark.functions.text import shingle_hashes
+    from pprl_spark.operators.blocking import minhash_col
+    from pprl_spark.operators.dedup import _band_keys_from_sig, _jaccard
+
+    corpus_base, corpus_band = corpus_index
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark)
+    d = (
+        stream.select(
+            "doc_id", "ts", shingle_hashes("text", k).alias("sh")
+        )
+        .where(F.size("sh") > 0)
+        .withColumn("_sig", minhash_col(F.col("sh"), bands * rows_per_band))
+    )
+    dband = d.select(
+        "doc_id",
+        "ts",
+        "sh",
+        F.explode(_band_keys_from_sig(F.col("_sig"), bands, rows_per_band)).alias("bk"),
+    )
+    cand = dband.join(
+        corpus_band.select(F.col("doc_id").alias("corpus_id"), "bk"), "bk"
+    ).where(F.col("doc_id") != F.col("corpus_id"))
+    scored = cand.join(
+        corpus_base.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh2")),
+        "corpus_id",
+    ).withColumn("jaccard", _jaccard(F.col("sh"), F.col("sh2")))
+    near = scored.where(F.col("jaccard") >= threshold)
+    keys = (
+        [F.window("ts", "1 hour"), F.col("doc_id"), F.col("corpus_id")]
+        if watermark is not None
+        else [F.col("doc_id"), F.col("corpus_id")]
+    )
+    out = near.groupBy(*keys).agg(F.max("jaccard").alias("jaccard"))
+    return out.select("doc_id", "corpus_id", "jaccard")

@@ -305,3 +305,69 @@ def test_asof_stream_matches_batch_under_ordered_replay(spark, tmp_path):
     assert got[6] == (5, 5.0)
     # user 2's first view precedes any error -> sentinel
     assert got[3] == (-1, -1.0)
+
+
+def test_stream_near_duplicates_matches_batch_probe(spark, tmp_path):
+    """Arriving docs probing the static MinHash index must emit the same
+    delta-vs-corpus pairs as the batch delta probe."""
+    import random
+
+    import pandas as pd
+
+    from pprl_spark.operators.dedup import delta_near_duplicates, minhash_index
+    from pprl_spark.streaming.incremental import stream_near_duplicates
+
+    rng = random.Random(19)
+    vocab = [f"w{i}" for i in range(30)]
+    corpus_rows, delta_rows = [], []
+    for i in range(150):
+        words = [rng.choice(vocab) for _ in range(rng.randint(4, 15))]
+        corpus_rows.append((i, " ".join(words)))
+        if rng.random() < 0.3:  # an arriving near-copy of a corpus doc
+            mut = list(words)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            delta_rows.append((1000 + i, " ".join(mut)))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    kw = dict(k=2, bands=4, rows_per_band=2)
+    idx = minhash_index(corpus, **kw)
+
+    in_dir = str(tmp_path / "arrivals")
+    ck = str(tmp_path / "ck")
+    arrivals = pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in delta_rows],
+            "ts": pd.to_datetime("2026-01-01 10:00:00"),
+            "text": [t for _, t in delta_rows],
+        }
+    )
+    schema = "doc_id long, ts timestamp, text string"
+    spark.createDataFrame(arrivals, schema).coalesce(1).write.parquet(in_dir)
+
+    out = stream_near_duplicates(
+        spark, in_dir, idx, threshold=0.4, **kw
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_ndups")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (min(r.doc_id, r.corpus_id), max(r.doc_id, r.corpus_id), r.jaccard)
+        for r in spark.sql("SELECT * FROM stream_ndups").collect()
+    }
+
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    batch = delta_near_duplicates(idx, delta, threshold=0.4, **kw)
+    # the streaming twin covers delta-vs-corpus only (documented):
+    # restrict the batch result to cross pairs (corpus ids < 1000)
+    want = {
+        (r.id1, r.id2, r.jaccard)
+        for r in batch.collect()
+        if min(r.id1, r.id2) < 1000
+    }
+    assert got == want
+    assert got  # non-vacuous
