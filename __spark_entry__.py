@@ -836,6 +836,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _floor6(F.col("jaccard")).alias("jaccard"),
         )
 
+    def dedup_containment(spark, sf_dir):
+        # exact asymmetric containment join (quote/boilerplate shape):
+        # docs with doc_id % 20 == 0 play short probes against the rest
+        # as targets; |P∩T|/|P| >= 0.6 with the rational-integer
+        # comparison shared with the naive oracle join. Probe prefixes
+        # rank by TARGET df via one tagged-union window (no df join).
+        from pprl_spark.functions.text import shingle_hashes
+        from pprl_spark.operators.setjoin import containment_join
+
+        toks = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            shingle_hashes("text", k=2).alias("tokens"),
+        )
+        out = containment_join(
+            toks.where("doc_id % 20 = 0"),
+            toks.where("doc_id % 20 != 0"),
+            threshold="0.6",
+        )
+        return out.select(
+            "probe_id",
+            "target_id",
+            "n_probe",
+            "n_target",
+            "intersection",
+            _floor6(F.col("containment")).alias("containment"),
+        )
+
     def dedup_delta(spark, sf_dir):
         # write-once/probe-many DEDUP: docs with doc_id % 5 == 0 play
         # the arriving batch, the rest the standing corpus whose MinHash
@@ -1989,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_jw_pairs": pprl_jw_pairs,
         "dedup_minhash": dedup_minhash,
         "dedup_setjoin": dedup_setjoin,
+        "dedup_containment": dedup_containment,
         "dedup_delta": dedup_delta,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3044,6 +3072,27 @@ SELECT id1, id2, s1.n AS n1, s2.n AS n2, inter AS intersection,
        floor((inter::DOUBLE / (s1.n + s2.n - inter)) * 1000000)/1000000.0 AS jaccard
 FROM pairs JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
 WHERE inter * 5 >= (s1.n + s2.n - inter) * 2
+"""
+        ),
+        # containment: the naive probe x target join IS the oracle —
+        # same rational comparison (0.6 -> inter*5 >= n_probe*3)
+        "dedup_containment": (
+            sh_cte
+            + """,
+tok AS (SELECT doc_id, unnest(sh) AS tk FROM sh),
+sizes AS (SELECT doc_id, len(sh)::BIGINT AS n FROM sh WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.doc_id AS probe_id, b.doc_id AS target_id, count(*)::BIGINT AS inter
+  FROM tok a JOIN tok b USING (tk)
+  WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 != 0
+  GROUP BY 1, 2
+)
+SELECT probe_id, target_id, s1.n AS n_probe, s2.n AS n_target, inter AS intersection,
+       floor((inter::DOUBLE / s1.n::DOUBLE) * 1000000)/1000000.0 AS containment
+FROM pairs
+JOIN sizes s1 ON s1.doc_id = probe_id
+JOIN sizes s2 ON s2.doc_id = target_id
+WHERE inter * 5 >= s1.n * 3
 """
         ),
         # the delta probe's contract: identical pairs to the full

@@ -148,3 +148,110 @@ def jaccard_join(
             ),
         )
     )
+
+
+def containment_join(
+    probe: DataFrame,
+    target: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    threshold: float | str = 0.5,
+    materialize: str = "checkpoint",
+) -> DataFrame:
+    """Exact ASYMMETRIC containment join: every (probe, target) pair
+    with |P∩T| / |P| >= threshold — "probe is mostly inside target".
+
+    The quote/boilerplate/plagiarism shape Jaccard cannot express: a
+    short passage inside a long document has tiny Jaccard but full
+    containment. Exact prefix filtering still applies, one-sided: a
+    probe needs overlap α = ceil(t·nP), so ANY nP−α+1 of its tokens
+    include a shared one (pigeonhole — for any ordering), and only the
+    probe's rarest-first prefix joins the target's inverted index.
+
+    Scale shape: probe and target tokens travel ONE tagged union; the
+    target-side df lands on probe rows via a conditional window over
+    the token partition (no df-table join), so probe tokens absent from
+    the target rank rarest and generate zero candidates. The candidate
+    join probes the target's FULL posting lists — that is inherent to
+    containment (the target has no prefix), so hub-token postings are
+    the cost driver; rarest-first probe prefixes keep hub tokens out of
+    the join for all but the most common-word-only probes. Verification
+    joins the distinct token arrays back for candidates only; the
+    threshold comparison is integer-rational (``inter·den >= num·nP``),
+    exactness-checked against the naive join in tests and the driver
+    oracle.
+    """
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    if not 0 < frac <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold!r}")
+    from pprl_spark.operators.dedup import _materialize
+
+    def _base(df: DataFrame) -> DataFrame:
+        return _materialize(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.array_distinct(F.col(tokens_col)).alias("_tk"),
+            )
+            .withColumn("_n", F.size("_tk").cast("long"))
+            .filter(F.col("_n") > 0),
+            materialize,
+        )
+
+    pb, tb = _base(probe), _base(target)
+    tagged = pb.select(
+        F.lit("p").alias("_side"), "_id", "_n", F.explode("_tk").alias("_t")
+    ).unionByName(
+        tb.select(F.lit("t").alias("_side"), "_id", "_n", F.explode("_tk").alias("_t"))
+    )
+    w_tok = Window.partitionBy("_t")
+    with_df = _materialize(
+        tagged.withColumn(
+            "_df", F.sum(F.when(F.col("_side") == "t", 1).otherwise(0)).over(w_tok)
+        ),
+        materialize,
+    )
+    # probe prefix: first nP - ceil(t*nP) + 1 tokens, rarest-in-target first
+    ranked = with_df.filter(F.col("_side") == "p").withColumn(
+        "_pos",
+        F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_t")).cast("long"),
+    )
+    prefix_len = F.expr(f"_n - ((_n * {num} + {den - 1}) DIV {den}) + 1")
+    pref = ranked.filter(F.col("_pos") <= prefix_len)
+
+    cand = (
+        pref.select(F.col("_id").alias("probe_id"), "_t", F.col("_n").alias("n_probe"))
+        .join(
+            with_df.filter(F.col("_side") == "t").select(
+                F.col("_id").alias("target_id"), "_t", F.col("_n").alias("n_target")
+            ),
+            "_t",
+        )
+        # the target must be able to hold α common tokens: nT >= t*nP
+        .filter(F.col("n_target") * F.lit(den) >= F.col("n_probe") * F.lit(num))
+        .select("probe_id", "target_id")
+        .distinct()
+    )
+    s1 = pb.select(F.col("_id").alias("probe_id"), F.col("_tk").alias("_tk1"))
+    s2 = tb.select(F.col("_id").alias("target_id"), F.col("_tk").alias("_tk2"))
+    inter = F.size(F.array_intersect("_tk1", "_tk2")).cast("long")
+    return (
+        cand.join(s1, "probe_id")
+        .join(s2, "target_id")
+        .withColumn("intersection", inter)
+        .filter(
+            F.col("intersection") * F.lit(den)
+            >= F.size("_tk1").cast("long") * F.lit(num)
+        )
+        .select(
+            "probe_id",
+            "target_id",
+            F.size("_tk1").cast("long").alias("n_probe"),
+            F.size("_tk2").cast("long").alias("n_target"),
+            "intersection",
+            (
+                F.col("intersection").cast("double")
+                / F.size("_tk1").cast("double")
+            ).alias("containment"),
+        )
+    )

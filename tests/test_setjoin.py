@@ -147,3 +147,54 @@ def test_delta_near_duplicates_equals_filtered_full_recompute(spark):
     }
     assert got == full
     assert got  # non-vacuous
+
+
+def _naive_containment(probe_rows, target_rows, t):
+    from fractions import Fraction
+
+    fr = Fraction(str(t))
+    out = set()
+    for pi, ptk in probe_rows:
+        sp = set(ptk)
+        if not sp:
+            continue
+        for ti, ttk in target_rows:
+            st = set(ttk)
+            if st and len(sp & st) * fr.denominator >= len(sp) * fr.numerator:
+                out.add((pi, ti))
+    return out
+
+
+@pytest.mark.parametrize("t", ["0.5", "0.75", "1.0"])
+def test_containment_matches_naive(spark, t):
+    from pprl_spark.operators.setjoin import containment_join
+
+    rng = random.Random(23)
+    probes = [(i, sorted(rng.sample(range(30), rng.randint(1, 6)))) for i in range(40)]
+    targets = [
+        (100 + i, sorted(rng.sample(range(30), rng.randint(5, 25)))) for i in range(60)
+    ]
+    pdf = spark.createDataFrame(probes, "doc_id long, tokens array<long>")
+    tdf = spark.createDataFrame(targets, "doc_id long, tokens array<long>")
+    got = {
+        (r.probe_id, r.target_id)
+        for r in containment_join(pdf, tdf, threshold=t).collect()
+    }
+    assert got == _naive_containment(probes, targets, t)
+
+
+def test_containment_finds_quote_jaccard_misses(spark):
+    from pprl_spark.operators.setjoin import containment_join, jaccard_join
+
+    # a 4-token quote fully inside a 40-token document: containment 1.0,
+    # Jaccard ~0.1 — the asymmetric join finds it, the symmetric can't
+    quote = list(range(4))
+    doc = list(range(40))
+    pdf = spark.createDataFrame([(1, quote)], "doc_id long, tokens array<long>")
+    tdf = spark.createDataFrame([(2, doc)], "doc_id long, tokens array<long>")
+    [r] = containment_join(pdf, tdf, threshold="1.0").collect()
+    assert (r.probe_id, r.target_id, r.containment) == (1, 2, 1.0)
+    both = spark.createDataFrame(
+        [(1, quote), (2, doc)], "doc_id long, tokens array<long>"
+    )
+    assert jaccard_join(both, threshold="0.5").count() == 0
