@@ -1010,6 +1010,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("pmi_u").cast("long").alias("pmi_u"),
         )
 
+    def events_funnel(spark, sf_dir):
+        # ordered funnel view -> click -> purchase with 1-hour step
+        # bounds: no event-pair self-join — one min-agg plus one keyed
+        # left-join + conditional min per later step, all reusing the
+        # user_id hash partitioning. Native interval arithmetic is
+        # microsecond-exact in both engines.
+        from pprl_spark.operators.events import funnel_steps
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # not-reached stages surface as the epoch sentinel rather than
+        # NULL: None vs NaT null-timestamp representations diverge
+        # between engines in the value compare (same convention as the
+        # as-of oracle); `stage` still carries the semantics
+        sent = F.lit("1970-01-01 00:00:00").cast("timestamp")
+        return funnel_steps(ev, ["view", "click", "purchase"], within="1 hour").select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "t_1",
+            F.coalesce("t_2", sent).alias("t_2"),
+            F.coalesce("t_3", sent).alias("t_3"),
+            "stage",
+        )
+
     def pprl_soundex(spark, sf_dir):
         # American Soundex blocking codes of the first 3 words — the
         # third phonetic key next to double metaphone (Python kernel)
@@ -2030,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_histogram": corpus_histogram,
         "layout_zorder": layout_zorder,
         "pprl_soundex": pprl_soundex,
+        "events_funnel": events_funnel,
         "text_bigram_lm": text_bigram_lm,
         "vocab_pmi": vocab_pmi,
         "spans_exact_dedup": spans_exact_dedup,
@@ -3208,6 +3231,30 @@ FROM marg, tot
 WHERE cnt >= 3
 ORDER BY pmi_u DESC, bigram ASC
 LIMIT 50
+""",
+        # iterative CTE funnel twin: min-agg + conditional-min per step
+        "events_funnel": """
+WITH s1 AS (
+  SELECT user_id::BIGINT AS user_id, min(ts) AS t_1
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT s1.user_id, t_1,
+         min(CASE WHEN e.ts > t_1 AND e.ts <= t_1 + INTERVAL 1 HOUR THEN e.ts END) AS t_2
+  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id AND e.event_type = 'click'
+  GROUP BY 1, 2
+),
+s3 AS (
+  SELECT s2.user_id, t_1, t_2,
+         min(CASE WHEN e.ts > t_2 AND e.ts <= t_2 + INTERVAL 1 HOUR THEN e.ts END) AS t_3
+  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, t_1,
+       coalesce(t_2, TIMESTAMP '1970-01-01 00:00:00') AS t_2,
+       coalesce(t_3, TIMESTAMP '1970-01-01 00:00:00') AS t_3,
+       (1 + (t_2 IS NOT NULL)::INT + (t_3 IS NOT NULL)::INT)::BIGINT AS stage
+FROM s3
 """,
         # own-soundex twin: fold generated from the same digit table /
         # spec as the Spark expression (functions/phonetic.py)

@@ -138,6 +138,8 @@ def main() -> None:
         "layout_zorder": lambda s: q["layout_zorder"](s, SF_DIR).count(),
         # own-soundex fold (JVM, no UDF)
         "pprl_soundex": lambda s: q["pprl_soundex"](s, SF_DIR).count(),
+        # ordered funnel (keyed joins, no event-pair self-join)
+        "events_funnel": lambda s: q["events_funnel"](s, SF_DIR).count(),
         # corpus-statistics / hygiene passes (r5): heavy hitters,
         # benchmark-overlap decontamination, dictionary scrub, TF-IDF,
         # span-sequence dedup, token-budget sampling, quality trim

@@ -257,3 +257,65 @@ def range_join(
     )
     keep = [c for c in left.columns] + [f"{prefix}{c}" for c in payload_cols] + ["delta_us"]
     return out.select(*keep)
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    within: str = "1 hour",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest completion time of
+    each step given the previous one, each transition bounded by
+    ``within`` -> (user, t_1..t_k, stage).
+
+    The product-analytics staple ("view -> click -> purchase inside an
+    hour"). No self-join over event pairs: step 1 is a min-aggregate;
+    every later step i is ONE left join of the (per-user, slim) stage
+    frame against the step-i events plus a conditional min — all keyed
+    on the user, so after the first exchange every join and aggregate
+    reuses the same hash partitioning. k steps cost k passes over
+    single-type event slices, never |events|² pairs. stage = number of
+    steps completed; users who never fired step 1 are absent (funnel
+    entry defines the cohort).
+
+    Time bounds use native interval arithmetic (microsecond-exact in
+    both Spark and the SQL twin); a strictly-later ``ts`` is required
+    for each next step, so same-timestamp events cannot complete two
+    stages at once.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    u, ty, ts = F.col(user_col), F.col(type_col), F.col(ts_col)
+    cur = (
+        events.where(ty == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = F.col(f"t_{i - 1}")
+        nxt = events.where(ty == step).select(u.alias(user_col), ts.alias("_ts"))
+        carry = [f"t_{j}" for j in range(1, i)]
+        cur = (
+            cur.join(nxt, user_col, "left")
+            .groupBy(user_col, *carry)
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col("_ts") > prev)
+                        & (F.col("_ts") <= prev + F.expr(f"INTERVAL {within}")),
+                        F.col("_ts"),
+                    )
+                ).alias(f"t_{i}")
+            )
+        )
+    stage = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        stage = stage + F.col(f"t_{i}").isNotNull().cast("int")
+    return cur.select(
+        user_col,
+        *[f"t_{i}" for i in range(1, len(steps) + 1)],
+        stage.cast("long").alias("stage"),
+    )

@@ -128,3 +128,32 @@ def test_range_join_no_cartesian(spark):
     )
     plan = range_join(l, l)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_steps_hand_computed(spark):
+    from datetime import datetime
+
+    from pprl_spark.operators.events import funnel_steps
+
+    T = lambda m, s=0: datetime(2026, 1, 1, 10, m, s)
+    rows = [
+        # user 1: full funnel inside the bounds
+        (1, T(0), "view"), (1, T(10), "click"), (1, T(20), "purchase"),
+        # user 2: clicks too late (> 1 hour after view)
+        (2, T(0), "view"), (2, T(0) .replace(hour=12), "click"),
+        # user 3: same-timestamp click must NOT count (strictly later)
+        (3, T(5), "view"), (3, T(5), "click"),
+        # user 4: purchase BEFORE click is not a completion
+        (4, T(0), "view"), (4, T(30), "click"), (4, T(25), "purchase"),
+        # user 5: never viewed -> not in the cohort
+        (5, T(0), "click"), (5, T(1), "purchase"),
+        # user 1 noise: later extra view must not move t_1
+        (1, T(50), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.user_id: r for r in funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1].stage, got[1].t_1, got[1].t_2, got[1].t_3) == (3, T(0), T(10), T(20))
+    assert (got[2].stage, got[2].t_2) == (1, None)
+    assert (got[3].stage, got[3].t_2) == (1, None)
+    assert (got[4].stage, got[4].t_2, got[4].t_3) == (2, T(30), None)
