@@ -1032,6 +1032,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stage",
         )
 
+    def events_cohorts(spark, sf_dir):
+        # weekly cohort-retention matrix: first-activity cohorts x
+        # week offsets, count-distinct users per cell; ISO-week
+        # date_trunc + integer day-diff DIV 7 are engine-exact.
+        from pprl_spark.operators.events import cohort_retention
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return cohort_retention(ev).select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+
     def pprl_soundex(spark, sf_dir):
         # American Soundex blocking codes of the first 3 words — the
         # third phonetic key next to double metaphone (Python kernel)
@@ -2053,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder": layout_zorder,
         "pprl_soundex": pprl_soundex,
         "events_funnel": events_funnel,
+        "events_cohorts": events_cohorts,
         "text_bigram_lm": text_bigram_lm,
         "vocab_pmi": vocab_pmi,
         "spans_exact_dedup": spans_exact_dedup,
@@ -3231,6 +3245,18 @@ FROM marg, tot
 WHERE cnt >= 3
 ORDER BY pmi_u DESC, bigram ASC
 LIMIT 50
+""",
+        # cohort matrix twin: identical ISO-week truncation + DIV 7
+        "events_cohorts": """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+SELECT cohort_week, (datediff('day', cohort_week::DATE, aw::DATE) // 7)::BIGINT AS week_offset,
+       count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM act a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
 """,
         # iterative CTE funnel twin: min-agg + conditional-min per step
         "events_funnel": """

@@ -140,6 +140,8 @@ def main() -> None:
         "pprl_soundex": lambda s: q["pprl_soundex"](s, SF_DIR).count(),
         # ordered funnel (keyed joins, no event-pair self-join)
         "events_funnel": lambda s: q["events_funnel"](s, SF_DIR).count(),
+        # weekly cohort-retention matrix
+        "events_cohorts": lambda s: q["events_cohorts"](s, SF_DIR).count(),
         # corpus-statistics / hygiene passes (r5): heavy hitters,
         # benchmark-overlap decontamination, dictionary scrub, TF-IDF,
         # span-sequence dedup, token-budget sampling, quality trim

@@ -319,3 +319,35 @@ def funnel_steps(
         *[f"t_{i}" for i in range(1, len(steps) + 1)],
         stage.cast("long").alias("stage"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix -> (cohort_week, week_offset,
+    n_users): of the users whose FIRST activity fell in cohort_week,
+    how many were active again week_offset weeks later.
+
+    The funnel's companion report. Three keyed stages: first-activity
+    per user (min-agg), the activity join back (same user_id hash
+    partitioning — no extra exchange shape), and the final
+    count-distinct on (cohort, offset) whose key space is O(weeks²) —
+    tiny forever. Weeks are ``date_trunc('week', ts)`` (ISO Monday
+    start, identical in Spark and the SQL twin) and the offset is an
+    exact integer day-difference DIV 7, so no timezone or float
+    boundary can shift a user between cells.
+    """
+    u, ts = F.col(user_col), F.col(ts_col)
+    cohort = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts)).alias("cohort_week")
+    )
+    act = events.select(u.alias(user_col), F.date_trunc("week", ts).alias("_aw")).distinct()
+    joined = act.join(cohort, user_col)
+    off = F.expr("CAST(datediff(to_date(_aw), to_date(cohort_week)) DIV 7 AS BIGINT)")
+    return (
+        joined.select(user_col, "cohort_week", off.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

@@ -157,3 +157,32 @@ def test_funnel_steps_hand_computed(spark):
     assert (got[2].stage, got[2].t_2) == (1, None)
     assert (got[3].stage, got[3].t_2) == (1, None)
     assert (got[4].stage, got[4].t_2, got[4].t_3) == (2, T(30), None)
+
+
+def test_cohort_retention_hand_computed(spark):
+    from datetime import datetime
+
+    from pprl_spark.operators.events import cohort_retention
+
+    # 2026-01-05 is a Monday (ISO week start)
+    rows = [
+        (1, datetime(2026, 1, 5)),   # cohort W0
+        (1, datetime(2026, 1, 14)),  # active W1
+        (1, datetime(2026, 1, 20)),  # active W2
+        (2, datetime(2026, 1, 7)),   # cohort W0
+        (2, datetime(2026, 1, 8)),   # same week (offset 0, dedup with user 2's cohort row)
+        (3, datetime(2026, 1, 13)),  # cohort W1
+        (3, datetime(2026, 1, 26)),  # active W3 (offset 2 from its own cohort)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week.date().isoformat(), r.week_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2026-01-05", 0): 2,  # users 1, 2
+        ("2026-01-05", 1): 1,  # user 1
+        ("2026-01-05", 2): 1,  # user 1
+        ("2026-01-12", 0): 1,  # user 3
+        ("2026-01-12", 2): 1,  # user 3
+    }
