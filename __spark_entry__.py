@@ -1097,6 +1097,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
         )
 
+    def graph_triangles(spark, sf_dir):
+        # per-node triangle counts over the MinHash near-dup graph:
+        # the structural cluster-quality signal (tight clique vs chain
+        # of borderline matches). Degree-ordered orientation bounds
+        # wedge fan-out by the LOW-degree endpoint; rides the shared
+        # pair memo like dedup_clusters.
+        from pprl_spark.operators.cluster import triangle_counts
+
+        pairs = _minhash_dedup_pairs(spark, sf_dir)
+        return triangle_counts(pairs.select("id1", "id2")).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+
     def dedup_eval(spark, sf_dir):
         # pairwise clustering evaluation WITHOUT pair enumeration: P/R/F1
         # of the MinHash near-dup clusters against the exact-duplicate
@@ -2061,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clusters": delta_clusters,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_eval": dedup_eval,
+        "graph_triangles": graph_triangles,
         "corpus_profile": corpus_profile,
         "corpus_histogram": corpus_histogram,
         "layout_zorder": layout_zorder,
@@ -3324,6 +3339,36 @@ FROM documents, b GROUP BY 1
        min({c})::VARCHAR AS min_val, max({c})::VARCHAR AS max_val
 FROM documents"""
             for c in ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+        # triangle twin: ID-ordered triple join over the same near-dup
+        # pair CTE (count is orientation-independent)
+        "graph_triangles": (
+            dedup_clusters_sql.replace(
+                """edges AS (SELECT id1 AS u, id2 AS v FROM nd UNION SELECT id2, id1 FROM nd),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+walk(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.u, w2.lbl FROM edges e JOIN walk w2 ON e.v = w2.n
+)
+SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n
+""",
+                """tri AS (
+  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+  FROM nd e1
+  JOIN nd e2 ON e2.id1 = e1.id1 AND e2.id2 > e1.id2
+  JOIN nd e3 ON e3.id1 = e1.id2 AND e3.id2 = e2.id2
+),
+members AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_triangles
+FROM members GROUP BY doc_id
+""",
+                1,
+            )
         ),
         # pairwise P/R/F1 from contingency-table combinatorics: splice
         # the recursive-CTE clusters into cc, partition truth by the

@@ -126,6 +126,8 @@ def main() -> None:
         # pairwise P/R/F1 vs exact-dup truth from contingency aggregates
         # (no pair enumeration; also rides the minhash pair memo)
         "dedup_eval": lambda s: q["dedup_eval"](s, SF_DIR).count(),
+        # degree-ordered triangle counting over the near-dup graph
+        "graph_triangles": lambda s: q["graph_triangles"](s, SF_DIR).count(),
         # single-pass per-column ANALYZE profile
         "corpus_profile": lambda s: q["corpus_profile"](s, SF_DIR).count(),
         # bigram-LM cross-entropy scoring (order-2 CCNet filter)

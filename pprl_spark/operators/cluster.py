@@ -315,3 +315,62 @@ def incremental_cc(
         .join(assignment.select("doc_id"), "doc_id", "left_anti")
     )
     return updated.unionByName(fresh)
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    materialize: str = "checkpoint",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph ->
+    (doc_id, n_triangles); nodes in no triangle are absent.
+
+    Triangle density separates tight duplicate cliques from chains of
+    borderline matches — the structural signal behind cluster-quality
+    review (a 50-doc entity with no triangles is a blocking artifact,
+    not a duplicate group). Classic degree-ordered algorithm: orient
+    every edge from its lower-(degree, id) endpoint to the higher, so
+    each triangle {a<b<c} closes exactly once (wedge b<-a->c joined
+    against oriented edge b->c), and wedge fan-out is bounded by the
+    LOW-degree endpoint — the hub node of a star contributes no wedges
+    because every edge points INTO it. The (deg, id) total order rides
+    a struct comparison; two self-joins on slim (src, dst, deg)
+    triples; the oriented edge table is materialized once (same
+    checkpoint|persist|none hatch as the dedup operators).
+    """
+    from pprl_spark.operators.dedup import _materialize
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    ed = (
+        e.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    o = _materialize(
+        ed.select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lo_first, F.col("du")).otherwise(F.col("dv")).alias("ds"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        ),
+        materialize,
+    )
+    w1 = o.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
+    w2 = o.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
+    wedges = w1.join(w2, "s").where(
+        F.struct(F.col("db"), F.col("b")) < F.struct(F.col("dc"), F.col("c"))
+    )
+    closed = wedges.join(
+        o.select(F.col("s").alias("b"), F.col("t").alias("c")), ["b", "c"]
+    )
+    members = closed.select(F.explode(F.array("s", "b", "c")).alias("doc_id"))
+    return members.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

@@ -138,3 +138,50 @@ def test_incremental_cc_intra_cluster_edge_noop(spark):
     delta = spark.createDataFrame([(1, 3)], "id1 long, id2 long")  # already same cluster
     got = _assign(incremental_cc(assignment, delta))
     assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def _brute_triangles(edges):
+    import itertools
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_counts_known_graphs(spark):
+    from pprl_spark.operators.cluster import triangle_counts
+
+    # K4: every node sits in C(3,2)=3 triangles; C5 cycle: none
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c5 = [(10 + i, 10 + (i + 1) % 5) for i in range(5)]
+    df = spark.createDataFrame(k4 + c5, "id1 long, id2 long")
+    got = {r.doc_id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_match_brute_force(spark):
+    import random
+
+    from pprl_spark.operators.cluster import triangle_counts
+
+    rng = random.Random(31)
+    edges = list({tuple(sorted(rng.sample(range(30), 2))) for _ in range(120)})
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {r.doc_id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_counts_star_has_none(spark):
+    from pprl_spark.operators.cluster import triangle_counts
+
+    # hub with 50 spokes: zero wedges survive the degree orientation
+    star = [(0, i) for i in range(1, 51)]
+    df = spark.createDataFrame(star, "id1 long, id2 long")
+    assert triangle_counts(df).count() == 0
