@@ -1097,6 +1097,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
         )
 
+    def dedup_cluster_density(spark, sf_dir):
+        # per-entity edge density = n_edges / C(n,2): 1.0 = clique
+        # (true duplicate group), ->0 = chain (transitive over-merge).
+        # Every near-dup pair lies inside its own component by
+        # construction, so edges-per-entity is one groupBy on the
+        # assignment join; density is a single exact division.
+        from pprl_spark.operators.cluster import connected_components
+
+        pairs = _minhash_dedup_pairs(spark, sf_dir)
+        cc = connected_components(pairs.select("id1", "id2"))
+        sizes = cc.groupBy("entity_id").agg(F.count("*").cast("long").alias("n_members"))
+        edges = (
+            pairs.join(
+                cc.select(F.col("doc_id").alias("id1"), "entity_id"), "id1"
+            )
+            .groupBy("entity_id")
+            .agg(F.count("*").cast("long").alias("n_edges"))
+        )
+        c2 = F.shiftright(
+            (F.col("n_members") * (F.col("n_members") - F.lit(1))).cast("long"), 1
+        )
+        return sizes.join(edges, "entity_id").select(
+            F.col("entity_id").cast("long").alias("entity_id"),
+            "n_members",
+            "n_edges",
+            (F.col("n_edges").cast("double") / c2.cast("double")).alias("density"),
+        )
+
+    def dedup_source_matrix(spark, sf_dir):
+        # cross-source duplication matrix: near-dup pair counts per
+        # (source, source) — which feeds are copying which. Slim
+        # (id -> source) dim joins onto the pair memo; canonical
+        # (least, greatest) ordering folds the symmetric cells.
+        pairs = _minhash_dedup_pairs(spark, sf_dir)
+        src = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "source"
+        )
+        j = (
+            pairs.select(F.col("id1").cast("long"), F.col("id2").cast("long"))
+            .join(src.select(F.col("doc_id").alias("id1"), F.col("source").alias("_s1")), "id1")
+            .join(src.select(F.col("doc_id").alias("id2"), F.col("source").alias("_s2")), "id2")
+        )
+        return (
+            j.select(
+                F.least("_s1", "_s2").alias("source_a"),
+                F.greatest("_s1", "_s2").alias("source_b"),
+            )
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+        )
+
     def graph_triangles(spark, sf_dir):
         # per-node triangle counts over the MinHash near-dup graph:
         # the structural cluster-quality signal (tight clique vs chain
@@ -2075,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clusters": delta_clusters,
         "dedup_cluster_sizes": dedup_cluster_sizes,
         "dedup_eval": dedup_eval,
+        "dedup_cluster_density": dedup_cluster_density,
+        "dedup_source_matrix": dedup_source_matrix,
         "graph_triangles": graph_triangles,
         "corpus_profile": corpus_profile,
         "corpus_histogram": corpus_histogram,
@@ -3339,6 +3392,38 @@ FROM documents, b GROUP BY 1
        min({c})::VARCHAR AS min_val, max({c})::VARCHAR AS max_val
 FROM documents"""
             for c in ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+        # density twin: splice cc, count pairs per entity, exact C(n,2)
+        "dedup_cluster_density": (
+            dedup_clusters_sql.replace(
+                "SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n",
+                """, cc AS (SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id
+ FROM walk GROUP BY n),
+sizes AS (SELECT entity_id, count(*)::BIGINT AS n_members FROM cc GROUP BY 1),
+ew AS (
+  SELECT cc.entity_id, count(*)::BIGINT AS n_edges
+  FROM nd JOIN cc ON cc.doc_id = nd.id1 GROUP BY 1
+)
+SELECT s.entity_id, n_members, n_edges,
+       n_edges::DOUBLE / ((n_members * (n_members - 1)) // 2)::DOUBLE AS density
+FROM sizes s JOIN ew USING (entity_id)""",
+                1,
+            )
+        ),
+        # source-matrix twin: same pair CTE + documents dim join
+        "dedup_source_matrix": (
+            dedup_minhash_sql.replace(
+                "SELECT id1, id2, floor(j * 1000000)/1000000.0 AS jaccard FROM scored WHERE j >= 0.4",
+                """SELECT least(d1.source, d2.source) AS source_a,
+       greatest(d1.source, d2.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM scored
+JOIN documents d1 ON d1.doc_id = id1
+JOIN documents d2 ON d2.doc_id = id2
+WHERE j >= 0.4
+GROUP BY 1, 2""",
+                1,
+            )
         ),
         # triangle twin: ID-ordered triple join over the same near-dup
         # pair CTE (count is orientation-independent)
