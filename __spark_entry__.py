@@ -1462,6 +1462,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_shared").cast("long").alias("n_shared"),
         )
 
+    def text_dup_spans(spark, sf_dir):
+        # exact substring-duplication mass per doc (granular dedup, the
+        # Lee et al. 2022 memorization-risk pass): token 5-grams as
+        # 8-byte rolling hashes, corpus occurrence count >= 2 marks the
+        # window, touching windows merge into maximal spans. Grams
+        # shuffle as (hash, pos) — text never moves; the frequency table
+        # is map-side combined; span merging is one window over the
+        # (rare) duplicated positions only.
+        from pprl_spark.operators.corpus import duplicated_spans
+
+        return duplicated_spans(_docs(spark, sf_dir), n=5)
+
     def text_blocklist(spark, sf_dir):
         # C4-style dictionary filter: per-row hit count against a literal
         # blocklist + scrubbed (normalized) text + the keep decision —
@@ -2146,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": text_chunks,
         "vocab_topk": vocab_topk,
         "text_decontaminate": text_decontaminate,
+        "text_dup_spans": text_dup_spans,
         "text_blocklist": text_blocklist,
         "text_tfidf": text_tfidf,
         "text_surprisal": text_surprisal,
@@ -2802,6 +2815,65 @@ FROM cg JOIN bg USING (gram)
 GROUP BY doc_id
 """
 
+    # granular-dedup twin: identical rolling-hash 5-grams with positions
+    # (generate_subscripts aligns with unnest), count>=2 gram filter,
+    # lag-based span merge (windows touch iff pos gap <= n), short-doc
+    # whole-text shingle capped at n_tokens
+    text_dup_spans_sql = rf"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sgl AS (
+  SELECT doc_id, len(w)::BIGINT AS n_tokens,
+         CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)] END AS sgl
+  FROM w WHERE len(w) > 0
+),
+h AS (
+  SELECT doc_id, n_tokens,
+         [list_reduce([0::BIGINT] || [ascii(c) FOR c IN string_split(s, '')],
+                      (a, x) -> (a * {TXT.HASH_BASE} + x) % {TXT.HASH_MOD}) FOR s IN sgl] AS hs
+  FROM sgl
+),
+g AS (
+  SELECT doc_id, n_tokens, unnest(hs) AS gram,
+         generate_subscripts(hs, 1) - 1 AS pos
+  FROM h
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT doc_id, n_tokens, pos FROM g JOIN dup USING (gram)),
+flag AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+              THEN 1 ELSE 0 END AS new_span
+  FROM hits
+),
+sp AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM flag
+),
+spans AS (
+  SELECT doc_id, n_tokens, span_id, min(pos) AS s, max(pos) AS e
+  FROM sp GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT doc_id, n_tokens,
+         sum(least(e + 5, n_tokens) - s)::BIGINT AS n_dup_tokens,
+         count(*)::BIGINT AS n_spans
+  FROM spans GROUP BY 1, 2
+)
+SELECT d.doc_id, d.n_tokens,
+       coalesce(n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+       coalesce(n_spans, 0)::BIGINT AS n_spans,
+       coalesce(n_dup_tokens, 0)::DOUBLE / d.n_tokens::DOUBLE AS dup_fraction
+FROM (SELECT doc_id, n_tokens FROM sgl) d
+LEFT JOIN agg USING (doc_id, n_tokens)
+"""
+
     text_blocklist_sql = r"""
 WITH w AS (
   SELECT doc_id::BIGINT AS doc_id,
@@ -3151,6 +3223,7 @@ GROUP BY ROLLUP (lang, source)
         "pprl_block_stats": block_stats_sql,
         "corpus_rollup": corpus_rollup_sql,
         "text_decontaminate": text_decontaminate_sql,
+        "text_dup_spans": text_dup_spans_sql,
         "text_blocklist": text_blocklist_sql,
         "text_tfidf": text_tfidf_sql,
         "dedup_embedding": dedup_embedding_sql,

@@ -123,6 +123,10 @@ def main() -> None:
         # both reuse the memoized minhash pair table (like dedup_clusters)
         "delta_clusters": lambda s: q["delta_clusters"](s, SF_DIR).count(),
         "dedup_cluster_sizes": lambda s: q["dedup_cluster_sizes"](s, SF_DIR).count(),
+        # cluster edge-density + cross-source duplication matrix (both
+        # ride the memoized minhash pair table, like dedup_clusters)
+        "dedup_cluster_density": lambda s: q["dedup_cluster_density"](s, SF_DIR).count(),
+        "dedup_source_matrix": lambda s: q["dedup_source_matrix"](s, SF_DIR).count(),
         # pairwise P/R/F1 vs exact-dup truth from contingency aggregates
         # (no pair enumeration; also rides the minhash pair memo)
         "dedup_eval": lambda s: q["dedup_eval"](s, SF_DIR).count(),
@@ -149,6 +153,8 @@ def main() -> None:
         # span-sequence dedup, token-budget sampling, quality trim
         "vocab_topk": lambda s: q["vocab_topk"](s, SF_DIR).count(),
         "text_decontaminate": lambda s: q["text_decontaminate"](s, SF_DIR).count(),
+        # exact substring-duplication spans (granular dedup, Lee et al.)
+        "text_dup_spans": lambda s: q["text_dup_spans"](s, SF_DIR).count(),
         "text_blocklist": lambda s: q["text_blocklist"](s, SF_DIR).count(),
         "text_tfidf": lambda s: q["text_tfidf"](s, SF_DIR).count(),
         "spans_exact_dedup": lambda s: q["spans_exact_dedup"](s, SF_DIR).count(),

@@ -624,3 +624,114 @@ def equiwidth_histogram(
             F.max("_v").alias("hi_v"),
         )
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication spans (granular dedup) ->
+    (doc_id, n_tokens, n_dup_tokens, n_spans, dup_fraction).
+
+    The memorization-risk pass of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed at token
+    granularity: a token ``n``-gram is *duplicated* when its corpus-wide
+    occurrence count is >= ``min_count`` — counting EVERY occurrence,
+    including repeats inside a single document, which is exactly the
+    definition under which a decoder can memorize the span. Each
+    duplicated occurrence marks the token window ``[pos, pos+n-1]``;
+    overlapping or touching windows merge into maximal spans (the
+    contiguous duplicated regions an exact-substring deduper would cut).
+    Unlike :func:`~pprl_spark.operators.dedup.winnow_near_duplicates`
+    (SAMPLED fingerprints -> document-level candidates), this reports the
+    exact duplicated token mass per document.
+
+    Scale shape: grams travel as 8-byte rolling hashes with an int token
+    position — text never shuffles. The gram-frequency table is a
+    map-side-combined ``groupBy(gram).count()`` (no distinct); marking is
+    a semi-join of occurrences against the ``cnt >= min_count`` grams on
+    the hash (AQE handles the skewed stop-grams — only matched POSITIONS
+    survive, fan-out is 1:1 per occurrence). Span merging is one window
+    over (doc_id, pos) on the duplicated positions only, which are rare
+    by construction in a healthy corpus. Docs with zero duplicated grams
+    are returned with zeros via a left join on the slim (doc_id,
+    n_tokens) dim.
+
+    ``dup_fraction = n_dup_tokens / n_tokens`` is a single division of
+    two exact integers — exactly rounded, bit-identical across engines.
+    Empty documents (no tokens) are excluded, mirroring
+    :func:`decontaminate`. Short documents (fewer than ``n`` tokens)
+    contribute their single whole-text shingle (``word_shingles``
+    semantics); its span length is capped at ``n_tokens``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be positive, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    w = words_col(text_col)
+    base = docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.transform(word_shingles(text_col, n), lambda s: rolling_hash_col(s)).alias(
+            "_hs"
+        ),
+    ).where(F.col("n_tokens") > 0)
+
+    occ = base.select(
+        "doc_id", "n_tokens", F.posexplode("_hs").alias("pos", "gram")
+    )
+    dup_grams = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    hits = occ.join(dup_grams, "gram").select("doc_id", "n_tokens", "pos")
+
+    from pyspark.sql import Window
+
+    byref = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn("_lag", F.lag("pos").over(byref))
+        # windows [p, p+n-1] and [q, q+n-1] merge iff q - p <= n
+        # (overlap or touch); a larger gap leaves an uncovered token
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_lag").isNull() | (F.col("pos") - F.col("_lag") > n), 1
+            ).otherwise(0),
+        )
+        .withColumn("_span", F.sum("_new").over(byref))
+        .groupBy("doc_id", "n_tokens", "_span")
+        .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            # covered tokens [s, e+n-1], capped for the short-doc
+            # whole-text shingle whose window is the full document
+            (F.least(F.col("_e") + n, F.col("n_tokens")) - F.col("_s")).alias(
+                "_len"
+            ),
+        )
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.sum("_len").cast("long").alias("n_dup_tokens"),
+            F.count("*").cast("long").alias("n_spans"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(spans.drop("n_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            (
+                F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

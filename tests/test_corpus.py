@@ -565,3 +565,81 @@ def test_equiwidth_histogram_integer_bucketing(spark):
     # extremes land inside the range: max value in last bucket, min in first
     total = sum(r.n_rows for r in got.values())
     assert total == 12
+
+
+def test_duplicated_spans_golden(spark):
+    from pprl_spark.operators.corpus import duplicated_spans
+
+    # docs 1 and 2 share the 5-gram "a b c d e"; doc 3 is clean; docs 4
+    # and 6 are identical short docs (< n tokens), so their single
+    # whole-text shingle has corpus count 2 and marks ALL their tokens
+    # (capped at n_tokens=3, not n=5); doc 5 CONTAINS doc 4's text but
+    # its grams are all 5-token strings — exact granularity, no match
+    rows = [
+        (1, "a b c d e x y z w v"),
+        (2, "q a b c d e f r s t"),
+        (3, "k l m n o p u zz uu vv"),
+        (4, "tiny doc here"),
+        (5, "pad1 tiny doc here pad2 pad3"),
+        (6, "tiny doc here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in duplicated_spans(df, n=5).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # doc 1: one hit at pos 0 -> span tokens 0..4
+    assert (got[1].n_dup_tokens, got[1].n_spans) == (5, 1)
+    # doc 2: grams "a b c d e"(pos 1) and "b c d e f"? — only the shared
+    # gram counts; corpus count of "a b c d e" = 2 -> pos 1; no other
+    # gram repeats, so span = tokens 1..5
+    assert (got[2].n_dup_tokens, got[2].n_spans) == (5, 1)
+    assert got[3].n_dup_tokens == 0 and got[3].n_spans == 0
+    assert got[3].dup_fraction == 0.0
+    # short docs: whole-text shingle, capped at their 3 tokens
+    for d in (4, 6):
+        assert (got[d].n_tokens, got[d].n_dup_tokens, got[d].n_spans) == (3, 3, 1)
+        assert got[d].dup_fraction == 1.0
+    # doc 5 contains doc 4's text but as 5-grams none repeat (the
+    # whole-doc-4 shingle "tiny doc here" is a 3-token string; doc 5's
+    # grams are all 5-token strings) — granularity is exact, not fuzzy
+    assert got[5].n_dup_tokens == 0
+
+
+def test_duplicated_spans_merges_touching_windows(spark):
+    from pprl_spark.operators.corpus import duplicated_spans
+
+    # the repeated phrase appears twice INSIDE one doc: both occurrences
+    # count toward the corpus frequency (memorization definition) and
+    # produce two disjoint spans in that doc
+    rows = [
+        (1, "a b c x x a b c y y"),
+        (2, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in duplicated_spans(df, n=3).collect()}
+    # "a b c" occurs at pos 0 and 5 in doc 1 -> corpus count 2; windows
+    # [0,2] and [5,7]: gap > n so two spans, 6 duplicated tokens
+    assert (got[1].n_dup_tokens, got[1].n_spans) == (6, 2)
+    # contiguous check: "x x a" (pos 3)? only grams with count>=2 mark;
+    # no other gram repeats so nothing else is counted
+    assert got[2].n_dup_tokens == 0
+
+
+def test_duplicated_spans_partitioning_independent(spark):
+    import random
+
+    from pprl_spark.operators.corpus import duplicated_spans
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(rng.choice("abcde") for _ in range(30))) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(
+        (r.doc_id, r.n_dup_tokens, r.n_spans, r.dup_fraction)
+        for r in duplicated_spans(df.repartition(1), n=4).collect()
+    )
+    many = sorted(
+        (r.doc_id, r.n_dup_tokens, r.n_spans, r.dup_fraction)
+        for r in duplicated_spans(df.repartition(13), n=4).collect()
+    )
+    assert one == many
