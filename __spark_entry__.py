@@ -1162,6 +1162,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
 
+    def graph_pagerank(spark, sf_dir):
+        # deterministic fixed-point PageRank over the near-dup graph:
+        # in-cluster authority picks the canonical survivor, corpus-wide
+        # hubs surface boilerplate attractors. Integer arithmetic end to
+        # end (units of 1e-12), so the BIGINTs are engine- and
+        # partitioning-independent; rides the shared pair memo.
+        from pprl_spark.operators.cluster import pagerank
+
+        pairs = _minhash_dedup_pairs(spark, sf_dir)
+        return pagerank(pairs.select("id1", "id2"), iterations=5).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "deg",
+            "pr_u",
+            "pr",
+        )
+
     def dedup_eval(spark, sf_dir):
         # pairwise clustering evaluation WITHOUT pair enumeration: P/R/F1
         # of the MinHash near-dup clusters against the exact-duplicate
@@ -2141,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_density": dedup_cluster_density,
         "dedup_source_matrix": dedup_source_matrix,
         "graph_triangles": graph_triangles,
+        "graph_pagerank": graph_pagerank,
         "corpus_profile": corpus_profile,
         "corpus_histogram": corpus_histogram,
         "layout_zorder": layout_zorder,
@@ -3208,6 +3225,53 @@ FROM documents
 GROUP BY ROLLUP (lang, source)
 """
 
+    # pagerank twin: the fixed-point power iteration UNROLLED as chained
+    # CTEs generated by the same loop constants as the operator
+    # (iterations=5, damping 85/100, scale 10^12) — pure integer
+    # multiply/intdiv/sum per step, so DuckDB reproduces Spark's BIGINTs
+    # bit-for-bit regardless of summation order
+    _pr_scale, _pr_damp, _pr_iters = 10**12, 85, 5
+    _pr_cte = """pedges AS (SELECT id1 AS u, id2 AS v FROM nd
+           UNION ALL SELECT id2, id1 FROM nd),
+pdeg AS (SELECT u, count(*)::BIGINT AS d FROM pedges GROUP BY u),
+pnodes AS (SELECT DISTINCT u FROM pedges),
+pnn AS (SELECT count(*)::BIGINT AS n FROM pnodes),
+pr0 AS (SELECT u, ({scale} // n)::BIGINT AS v FROM pnodes, pnn)""".format(
+        scale=_pr_scale
+    )
+    for _t in range(1, _pr_iters + 1):
+        _pr_cte += """,
+pr{t} AS (
+  SELECT nd2.u,
+         ({base_num} // (100 * pnn.n) + coalesce(s.c, 0))::BIGINT AS v
+  FROM pnodes nd2
+  LEFT JOIN (
+    SELECT e.v AS node, sum((p.v * {damp}) // (100 * pdeg.d))::BIGINT AS c
+    FROM pedges e JOIN pr{p} p ON p.u = e.u JOIN pdeg ON pdeg.u = e.u
+    GROUP BY e.v
+  ) s ON s.node = nd2.u, pnn
+)""".format(
+            t=_t, p=_t - 1, base_num=_pr_scale * (100 - _pr_damp), damp=_pr_damp
+        )
+    graph_pagerank_sql = dedup_clusters_sql.replace(
+        """edges AS (SELECT id1 AS u, id2 AS v FROM nd UNION SELECT id2, id1 FROM nd),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+walk(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.u, w2.lbl FROM edges e JOIN walk w2 ON e.v = w2.n
+)
+SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n
+""",
+        _pr_cte
+        + f"""
+SELECT pr{_pr_iters}.u::BIGINT AS doc_id, pdeg.d AS deg, pr{_pr_iters}.v AS pr_u,
+       pr{_pr_iters}.v::DOUBLE / {float(_pr_scale)} AS pr
+FROM pr{_pr_iters} JOIN pdeg USING (u)
+""",
+        1,
+    )
+
     return {
         "vocab_topk": vocab_topk_sql,
         "text_surprisal": text_surprisal_sql,
@@ -3528,6 +3592,7 @@ FROM members GROUP BY doc_id
                 1,
             )
         ),
+        "graph_pagerank": graph_pagerank_sql,
         # pairwise P/R/F1 from contingency-table combinatorics: splice
         # the recursive-CTE clusters into cc, partition truth by the
         # normalized text (identical to the two-hash grouping modulo a

@@ -185,3 +185,53 @@ def test_triangle_counts_star_has_none(spark):
     star = [(0, i) for i in range(1, 51)]
     df = spark.createDataFrame(star, "id1 long, id2 long")
     assert triangle_counts(df).count() == 0
+
+
+def test_pagerank_fixed_point_golden(spark):
+    from pprl_spark.operators.cluster import pagerank
+
+    # path 1-2-3 (middle node dominates) + star 10-(11,12,13) (hub
+    # dominates); integer fixed-point values are exact by construction
+    rows = [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
+    df = spark.createDataFrame(rows, "id1 long, id2 long")
+    got = {r.doc_id: r for r in pagerank(df, iterations=5, materialize="none").collect()}
+    assert got[2].pr_u > got[1].pr_u == got[3].pr_u
+    assert got[10].pr_u > got[11].pr_u == got[12].pr_u == got[13].pr_u
+    # exact integer goldens (any drift = a semantics change, not noise)
+    assert got[2].pr_u == 237617723208
+    assert got[10].pr_u == 332378303564
+    assert got[10].deg == 3
+    # truncation loses < N*iters units of 1e-12 mass
+    mass = sum(r.pr_u for r in got.values())
+    assert 10**12 - 7 * 5 * 100 <= mass <= 10**12
+
+
+def test_pagerank_partitioning_independent(spark):
+    import random
+
+    from pprl_spark.operators.cluster import pagerank
+
+    rng = random.Random(3)
+    rows = list({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    df = spark.createDataFrame(rows, "id1 long, id2 long")
+    one = sorted(
+        (r.doc_id, r.deg, r.pr_u)
+        for r in pagerank(df.repartition(1), iterations=4, materialize="none").collect()
+    )
+    many = sorted(
+        (r.doc_id, r.deg, r.pr_u)
+        for r in pagerank(df.repartition(13), iterations=4, materialize="none").collect()
+    )
+    assert one == many
+
+
+def test_pagerank_validation(spark):
+    import pytest
+
+    from pprl_spark.operators.cluster import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping_pct=100)
