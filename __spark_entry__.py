@@ -1359,6 +1359,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("s.media_ref").alias("media_ref"),
         )
 
+    def _interleaved_docs(spark, sf_dir):
+        # realistic interleaved synth from the flat documents table:
+        # 8-token text segments (offset 2i) with an image span after
+        # every odd-indexed segment (offset 2i+1, ref derived from
+        # doc_id/i) — deterministic, so the oracle rebuilds the same
+        # span sequence from documents.text with list slicing
+        docs = _docs(spark, sf_dir)
+        w = TXT.words_col("text")
+        base = (
+            docs.select(
+                F.col("doc_id").cast("long").alias("doc_id"), w.alias("_w")
+            )
+            .where(F.size("_w") > 0)
+            .select(
+                "doc_id",
+                "_w",
+                F.floor((F.size("_w") + 7) / 8).cast("int").alias("_nseg"),
+            )
+        )
+        seg = F.transform(
+            F.sequence(F.lit(0), F.col("_nseg") - 1),
+            lambda i: F.struct(
+                F.lit("text").alias("kind"),
+                F.array_join(F.slice("_w", i * 8 + 1, 8), " ").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                (i * 2).cast("int").alias("offset"),
+            ),
+        )
+        media = F.transform(
+            F.filter(
+                F.sequence(F.lit(0), F.col("_nseg") - 1), lambda i: i % 2 == 1
+            ),
+            lambda i: F.struct(
+                F.lit("image").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat_ws("/", F.lit("img:/"), F.col("doc_id"), i).alias(
+                    "media_ref"
+                ),
+                (i * 2 + 1).cast("int").alias("offset"),
+            ),
+        )
+        # deliberately unsorted concat: the operators' offset sort is
+        # part of the contract under test
+        return base.select("doc_id", F.concat(seg, media).alias("spans"))
+
+    def spans_chunked(spark, sf_dir):
+        # greedy span-atomic sequence packing over the interleaved
+        # shape: budget 24, media cost 16 — the multimodal pack step
+        # (atomic media spans, history-dependent fold, zero shuffle)
+        from pprl_spark.operators.spans import chunk_spans
+
+        return chunk_spans(
+            _interleaved_docs(spark, sf_dir), budget=24, media_cost=16
+        ).select(
+            "doc_id",
+            F.col("offset").cast("long").alias("offset"),
+            "kind",
+            F.col("cost").cast("long").alias("cost"),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+        )
+
+    def spans_modality(spark, sf_dir):
+        # per-doc modality composition report over the interleaved
+        # shape (the image-spam / text-context curation filter input)
+        from pprl_spark.operators.spans import modality_profile
+
+        return modality_profile(_interleaved_docs(spark, sf_dir)).select(
+            "doc_id",
+            "n_spans",
+            "n_text_spans",
+            "n_media_spans",
+            "n_text_tokens",
+            "media_kinds",
+            "text_span_share",
+        )
+
     def text_chunks(spark, sf_dir):
         # overlapping token-window chunking (size 20, stride 10) — the
         # training/RAG preprocessing step; chunks are built as one array
@@ -2167,6 +2243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": text_bigram_lm,
         "vocab_pmi": vocab_pmi,
         "spans_exact_dedup": spans_exact_dedup,
+        "spans_chunked": spans_chunked,
+        "spans_modality": spans_modality,
         "dedup_canonical": dedup_canonical,
         "sample_stratified": sample_stratified,
         "sample_token_budget": sample_token_budget,
@@ -3225,6 +3303,80 @@ FROM documents
 GROUP BY ROLLUP (lang, source)
 """
 
+    # interleaved-synth CTE shared by the spans_chunked / spans_modality
+    # twins: 8-token segments + image span after every odd segment,
+    # rebuilt from documents.text with 1-based inclusive list slices
+    _interleaved_cte = r"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, w, len(w) AS n, (len(w) + 7) // 8 AS nseg
+  FROM w WHERE len(w) > 0
+),
+sp AS (
+  SELECT doc_id, nseg, n,
+         flatten([
+           CASE WHEN i % 2 = 1 THEN
+             [struct_pack(kind := 'text',
+                          cost := len(w[i*8+1 : i*8+8])::BIGINT,
+                          o := (2*i)::BIGINT),
+              struct_pack(kind := 'image', cost := 16::BIGINT,
+                          o := (2*i+1)::BIGINT)]
+           ELSE
+             [struct_pack(kind := 'text',
+                          cost := len(w[i*8+1 : i*8+8])::BIGINT,
+                          o := (2*i)::BIGINT)]
+           END
+           FOR i IN range(0, nseg)]) AS sp
+  FROM base
+)"""
+
+    # the greedy fold steps span-by-span in a scalar recursive CTE
+    # (depth = max spans per doc). DuckDB 1.0's list_reduce with a
+    # struct accumulator is NOT usable here: the appended a.chunk+1 and
+    # the chunk field of the same struct_pack disagree (observed
+    # assign=[0,0,1,1,3,2] with final chunk=2), and the branch-free
+    # rewrite collapses the accumulated list to its last element —
+    # scalar-state recursion sidesteps both.
+    spans_chunked_sql = (
+        _interleaved_cte.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+        + r""",
+rec AS (
+  SELECT doc_id, 1 AS i, 0::BIGINT AS chunk, (sp[1]).cost::BIGINT AS used
+  FROM sp
+  UNION ALL
+  SELECT r.doc_id, r.i + 1,
+         CASE WHEN r.used + (s.sp[r.i+1]).cost > 24 AND r.used > 0
+              THEN r.chunk + 1 ELSE r.chunk END,
+         CASE WHEN r.used + (s.sp[r.i+1]).cost > 24 AND r.used > 0
+              THEN (s.sp[r.i+1]).cost::BIGINT
+              ELSE r.used + (s.sp[r.i+1]).cost END
+  FROM rec r JOIN sp s USING (doc_id)
+  WHERE r.i < len(s.sp)
+)
+SELECT r.doc_id, (s.sp[r.i]).o AS offset, (s.sp[r.i]).kind AS kind,
+       (s.sp[r.i]).cost AS cost, r.chunk AS chunk_id
+FROM rec r JOIN sp s USING (doc_id)
+"""
+    )
+
+    spans_modality_sql = (
+        _interleaved_cte
+        + r"""
+SELECT doc_id,
+       (nseg + nseg // 2)::BIGINT AS n_spans,
+       nseg::BIGINT AS n_text_spans,
+       (nseg // 2)::BIGINT AS n_media_spans,
+       n::BIGINT AS n_text_tokens,
+       CASE WHEN nseg // 2 > 0 THEN 'image' ELSE '' END AS media_kinds,
+       nseg::DOUBLE / (nseg + nseg // 2)::DOUBLE AS text_span_share
+FROM sp
+"""
+    )
+
     # pagerank twin: the fixed-point power iteration UNROLLED as chained
     # CTEs generated by the same loop constants as the operator
     # (iterations=5, damping 85/100, scale 10^12) — pure integer
@@ -3654,6 +3806,8 @@ WHERE ('0x' || substring(sha256('7:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 10
         "text_quality_filters": text_quality_filters_sql,
         "text_chunks": text_chunks_sql,
         "spans_roundtrip": spans_roundtrip_sql,
+        "spans_chunked": spans_chunked_sql,
+        "spans_modality": spans_modality_sql,
         "text_stats": text_stats_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh_buckets": ann_lsh_sql,

@@ -160,6 +160,10 @@ def main() -> None:
         "text_blocklist": lambda s: q["text_blocklist"](s, SF_DIR).count(),
         "text_tfidf": lambda s: q["text_tfidf"](s, SF_DIR).count(),
         "spans_exact_dedup": lambda s: q["spans_exact_dedup"](s, SF_DIR).count(),
+        # greedy span-atomic packing + modality composition over the
+        # interleaved shape (pure array-expression scans, no shuffle)
+        "spans_chunked": lambda s: q["spans_chunked"](s, SF_DIR).count(),
+        "spans_modality": lambda s: q["spans_modality"](s, SF_DIR).count(),
         "spans_cross_media": lambda s: q["spans_cross_media"](s, SF_DIR).count(),
         "sample_token_budget": lambda s: q["sample_token_budget"](s, SF_DIR).count(),
         "text_quality_trim": lambda s: q["text_quality_trim"](s, SF_DIR).count(),
