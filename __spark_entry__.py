@@ -541,6 +541,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return both.groupBy("doc_id").agg(F.round(F.max("sim"), 6).alias("thresholds"))
 
+    def pprl_threshold_sweep(spark, sf_dir):
+        # threshold calibration table over the scored candidate pairs:
+        # per score bin, accepted/true counts plus cumulative
+        # precision/recall for "accept this bin or higher" — the table
+        # behind the reference's hand-picked abs_cutoff. Truth is the
+        # exact-duplicate text partition via the same two-xxhash64 key
+        # as dedup_eval (identical to text grouping modulo 2^-128);
+        # counted C(n,2) aggregates, no pair enumeration; rides the
+        # scored-pair memo.
+        from pprl_spark.operators.evaluate import threshold_sweep
+
+        pairs = _scored_pairs(spark, sf_dir)
+        docs = _docs(spark, sf_dir)
+        norm = F.array_join(TXT.words_col("text"), " ")
+        keyed = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.xxhash64(norm).alias("fp1"),
+            F.xxhash64(F.lit(1), norm).alias("fp2"),
+        )
+        return threshold_sweep(pairs, keyed).select(
+            "bin", "thr", "n_pairs", "n_true", "cum_pairs", "cum_true",
+            "precision", "recall",
+        )
+
+    def pprl_review_pairs(spark, sf_dir):
+        # deterministic clerical-review sample: 3 pairs per score bin,
+        # ranked by the content-addressed sha256 hash of the pair
+        # identity (salt 11) — reproducible across re-runs and
+        # partitionings, value-checked as a SET by the oracle
+        from pprl_spark.operators.sampling import pair_review_sample
+
+        pairs = _scored_pairs(spark, sf_dir)
+        return pair_review_sample(pairs, k_per_bin=3, salt=11).select(
+            "bin", "id1", "id2", "sim", "rk"
+        )
+
+    def pprl_blocking_eval(spark, sf_dir):
+        # the three standard blocking metrics (reduction ratio, pairs
+        # completeness, pairs quality) for the LSH banding scheme vs the
+        # exact-duplicate truth partition — the one-row report that
+        # decides whether a blocking key is usable. Counted aggregates
+        # only; rides the scored-pair memo and the dedup_eval truth key.
+        from pprl_spark.operators.evaluate import blocking_eval
+
+        pairs = _scored_pairs(spark, sf_dir)
+        docs = _docs(spark, sf_dir)
+        norm = F.array_join(TXT.words_col("text"), " ")
+        keyed = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.xxhash64(norm).alias("fp1"),
+            F.xxhash64(F.lit(1), norm).alias("fp2"),
+        )
+        return blocking_eval(pairs, keyed)
+
     def pprl_mutual_best_match(spark, sf_dir):
         return _mutual_best(spark, sf_dir)
 
@@ -2209,6 +2263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_minhash_blocks": pprl_minhash_blocks,
         "pprl_score_pairs": pprl_score_pairs,
         "pprl_thresholds": pprl_thresholds,
+        "pprl_threshold_sweep": pprl_threshold_sweep,
+        "pprl_review_pairs": pprl_review_pairs,
+        "pprl_blocking_eval": pprl_blocking_eval,
         "pprl_mutual_best_match": pprl_mutual_best_match,
         "pprl_scm_scored": pprl_scm_scored,
         "pprl_assignment": pprl_assignment,
@@ -2322,6 +2379,87 @@ FROM pairs p
 JOIN t12 a ON a.doc_id = p.id1
 JOIN t12 b ON b.doc_id = p.id2
 WHERE p.sim >= 0.5 AND (p.id1 * 1000003 + p.id2) % 7 = 0
+"""
+    )
+
+    # sweep twin: truth partition by normalized text (≡ the two-hash
+    # grouping modulo 2^-128), identical binning/cumulative-window math
+    threshold_sweep_sql = (
+        SQL_PAIRS
+        + r"""
+, tr AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                     x -> x <> ''), ' ') AS nt
+  FROM documents
+),
+fl AS (
+  SELECT least(floor(p.sim * 20)::BIGINT, 20) AS bin,
+         CASE WHEN a.nt = b.nt THEN 1 ELSE 0 END AS t
+  FROM pairs p JOIN tr a ON a.doc_id = p.id1 JOIN tr b ON b.doc_id = p.id2
+),
+bn AS (SELECT bin, count(*)::BIGINT AS n_pairs, sum(t)::BIGINT AS n_true FROM fl GROUP BY bin),
+tot AS (SELECT sum(n*(n-1)//2)::BIGINT AS tot
+        FROM (SELECT count(*)::BIGINT AS n FROM tr GROUP BY nt)),
+cm AS (
+  SELECT bin, n_pairs, n_true,
+         sum(n_pairs) OVER (ORDER BY bin DESC)::BIGINT AS cum_pairs,
+         sum(n_true) OVER (ORDER BY bin DESC)::BIGINT AS cum_true
+  FROM bn
+)
+SELECT bin, bin::DOUBLE / 20 AS thr, n_pairs, n_true, cum_pairs, cum_true,
+       cum_true::DOUBLE / cum_pairs::DOUBLE AS precision,
+       CASE WHEN tot > 0 THEN cum_true::DOUBLE / tot::DOUBLE ELSE 0.0 END AS recall
+FROM cm, tot
+"""
+    )
+
+    # review-sample twin: identical sha256 pair hash (salt 11) + per-bin
+    # ranking window
+    review_pairs_sql = (
+        SQL_PAIRS
+        + """
+, h AS (
+  SELECT least(floor(sim * 20)::BIGINT, 20) AS bin, id1, id2, sim,
+         ('0x' || substring(sha256('11:' || id1::VARCHAR || ':' || id2::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM pairs
+),
+r AS (
+  SELECT bin, id1, id2, sim,
+         row_number() OVER (PARTITION BY bin ORDER BY hh, id1, id2)::BIGINT AS rk
+  FROM h
+)
+SELECT bin, id1, id2, sim, rk FROM r WHERE rk <= 3
+"""
+    )
+
+    # blocking-metrics twin: counted aggregates over the same pair CTE
+    # and normalized-text truth partition
+    blocking_eval_sql = (
+        SQL_PAIRS
+        + r"""
+, tr AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                     x -> x <> ''), ' ') AS nt
+  FROM documents
+),
+c AS (
+  SELECT count(*)::BIGINT AS n_cand_pairs,
+         coalesce(sum(CASE WHEN a.nt = b.nt THEN 1 ELSE 0 END), 0)::BIGINT AS n_true_cand
+  FROM pairs p JOIN tr a ON a.doc_id = p.id1 JOIN tr b ON b.doc_id = p.id2
+),
+d AS (SELECT count(*)::BIGINT AS n_docs FROM tr),
+t AS (SELECT sum(n*(n-1)//2)::BIGINT AS n_true_total
+      FROM (SELECT count(*)::BIGINT AS n FROM tr GROUP BY nt))
+SELECT n_docs, (n_docs*(n_docs-1)//2)::BIGINT AS n_possible_pairs,
+       n_cand_pairs, n_true_cand, n_true_total,
+       1.0 - n_cand_pairs::DOUBLE / ((n_docs*(n_docs-1)//2))::DOUBLE AS reduction_ratio,
+       CASE WHEN n_true_total > 0
+            THEN n_true_cand::DOUBLE / n_true_total::DOUBLE ELSE 0.0 END AS pairs_completeness,
+       CASE WHEN n_cand_pairs > 0
+            THEN n_true_cand::DOUBLE / n_cand_pairs::DOUBLE ELSE 0.0 END AS pairs_quality
+FROM c, d, t
 """
     )
 
@@ -3506,6 +3644,9 @@ WHERE inter * 5 >= s1.n * 3
         "pprl_minhash_blocks": blocks_sql,
         "pprl_score_pairs": pairs_sql,
         "pprl_thresholds": thresholds_sql,
+        "pprl_threshold_sweep": threshold_sweep_sql,
+        "pprl_review_pairs": review_pairs_sql,
+        "pprl_blocking_eval": blocking_eval_sql,
         "pprl_mutual_best_match": mutual_sql,
         "pprl_clusters": clusters_sql,
         "dedup_exact": dedup_exact_sql,

@@ -188,6 +188,11 @@ def main() -> None:
         "events_range_join": lambda s: q["events_range_join"](s, SF_DIR).count(),
         # blocking skew diagnostics (heap top-k + 1-row global summary)
         "block_stats": lambda s: q["pprl_block_stats"](s, SF_DIR).count(),
+        # threshold calibration sweep, clerical-review sample, blocking
+        # RR/PC/PQ metrics (all ride the scored-pair memo)
+        "threshold_sweep": lambda s: q["pprl_threshold_sweep"](s, SF_DIR).count(),
+        "review_pairs": lambda s: q["pprl_review_pairs"](s, SF_DIR).count(),
+        "blocking_eval": lambda s: q["pprl_blocking_eval"](s, SF_DIR).count(),
     }
 
     # EVERY query records a median of N_RUNS genuine samples: this host's

@@ -143,3 +143,56 @@ def token_budget_sample(
     return stratified_sample(
         df, strata_col, fractions, default_fraction=0.0, salt=salt, key_col=key_col
     )
+
+
+def pair_review_sample(
+    pairs: DataFrame,
+    k_per_bin: int = 5,
+    n_bins: int = 20,
+    salt: int = 0,
+    sim_col: str = "sim",
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Deterministic clerical-review sample -> (bin, id1, id2, sim, rk).
+
+    The human-in-the-loop step of every production linkage: pull a fixed
+    number of candidate pairs from EACH score bin (not just the gray
+    zone — reviewers need confident-looking pairs to catch calibration
+    drift too) for manual adjudication. Selection must be reproducible
+    across re-runs and partitionings, so pairs are ranked within their
+    bin by ``sample_hash(id1:id2, salt)`` — a pure function of the pair
+    identity — with (id1, id2) as the total-order tie-break, and the
+    top ``k_per_bin`` survive.
+
+    Scale shape: one hash projection plus a per-bin ranking window whose
+    partitions are the ≤ ``n_bins + 1`` score bins; with rank pushdown
+    (WindowGroupLimit) each partition keeps a k-row ordered buffer
+    map-side rather than sorting the full pair table. The output is
+    ≤ ``(n_bins + 1) * k_per_bin`` rows regardless of corpus size.
+    """
+    if k_per_bin <= 0:
+        raise ValueError(f"k_per_bin must be positive, got {k_per_bin}")
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    from pyspark.sql import Window
+
+    h = sample_hash(
+        F.concat(F.col(id1).cast("string"), F.lit(":"), F.col(id2).cast("string")),
+        salt,
+    )
+    binned = pairs.select(
+        F.least(F.floor(F.col(sim_col) * n_bins).cast("long"), F.lit(n_bins)).alias(
+            "bin"
+        ),
+        F.col(id1),
+        F.col(id2),
+        F.col(sim_col),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy("bin").orderBy("_h", id1, id2)
+    return (
+        binned.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k_per_bin)
+        .drop("_h")
+    )

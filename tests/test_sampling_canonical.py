@@ -228,3 +228,45 @@ def test_chunk_tokens_matches_python_reference_all_lengths(spark):
                 toks = w[i * stride : i * stride + size]
                 want.append((i, len(toks), " ".join(toks)))
         assert got.get(n, []) == want, f"n={n}"
+
+
+def test_pair_review_sample_deterministic_and_bounded(spark):
+    import random
+
+    from pprl_spark.operators.sampling import pair_review_sample
+
+    rng = random.Random(23)
+    rows = [
+        (i, i + 1 + rng.randrange(50), round(rng.random(), 6)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id1 long, id2 long, sim double")
+    one = sorted(
+        tuple(r) for r in pair_review_sample(df.repartition(1), k_per_bin=3, salt=11).collect()
+    )
+    many = sorted(
+        tuple(r) for r in pair_review_sample(df.repartition(9), k_per_bin=3, salt=11).collect()
+    )
+    assert one == many
+    from collections import Counter
+
+    per_bin = Counter(r[0] for r in one)
+    assert all(v <= 3 for v in per_bin.values())
+    assert all(r[4] in (1, 2, 3) for r in one)
+    # different salt -> (almost surely) different selection within a
+    # populated bin, same bounds
+    other = sorted(
+        tuple(r) for r in pair_review_sample(df, k_per_bin=3, salt=12).collect()
+    )
+    assert other != one
+
+
+def test_pair_review_sample_validation(spark):
+    import pytest
+
+    from pprl_spark.operators.sampling import pair_review_sample
+
+    df = spark.createDataFrame([(1, 2, 0.5)], "id1 long, id2 long, sim double")
+    with pytest.raises(ValueError):
+        pair_review_sample(df, k_per_bin=0)
+    with pytest.raises(ValueError):
+        pair_review_sample(df, n_bins=0)
