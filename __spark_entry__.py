@@ -1620,6 +1620,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return duplicated_spans(_docs(spark, sf_dir), n=5)
 
+    def text_bm25(spark, sf_dir):
+        # Okapi BM25 top-10 per query for three literal queries — the
+        # lexical retrieval baseline (seed-doc mining / decontamination
+        # review). Integer micro-unit contributions make the per-doc
+        # sum order-independent; only query-term postings leave the
+        # scan; k-per-query via WindowGroupLimit.
+        from pprl_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(
+            _docs(spark, sf_dir),
+            {
+                "ret_a": "table scan filter",
+                "ret_b": "customer order stream",
+                "ret_c": "hash join window",
+            },
+            k=10,
+        ).select("query_id", "doc_id", "score_u", "rk")
+
     def text_blocklist(spark, sf_dir):
         # C4-style dictionary filter: per-row hit count against a literal
         # blocklist + scrubbed (normalized) text + the keep decision —
@@ -2311,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": vocab_topk,
         "text_decontaminate": text_decontaminate,
         "text_dup_spans": text_dup_spans,
+        "text_bm25": text_bm25,
         "text_blocklist": text_blocklist,
         "text_tfidf": text_tfidf,
         "text_surprisal": text_surprisal,
@@ -3107,6 +3126,50 @@ FROM (SELECT doc_id, n_tokens FROM sgl) d
 LEFT JOIN agg USING (doc_id, n_tokens)
 """
 
+    # BM25 twin: identical expression tree (left-assoc multiply/divide,
+    # 2.2 == the double of python 1.2+1.0, micro-nat idf floor at the
+    # tiny term table), integer contribution sum
+    text_bm25_sql = r"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+base AS (SELECT doc_id, w FROM w WHERE len(w) > 0),
+stats AS (SELECT count(*)::BIGINT AS nd, sum(len(w))::BIGINT AS tt FROM base),
+qt AS (SELECT * FROM (VALUES
+  ('ret_a','table'),('ret_a','scan'),('ret_a','filter'),
+  ('ret_b','customer'),('ret_b','order'),('ret_b','stream'),
+  ('ret_c','hash'),('ret_c','join'),('ret_c','window')) t(query_id, term)),
+vocab AS (SELECT DISTINCT term FROM qt),
+p AS (
+  SELECT doc_id, len(w)::BIGINT AS dl, term,
+         len(list_filter(w, x -> x = term))::BIGINT AS tf
+  FROM base, vocab
+  WHERE list_contains(w, term)
+),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY term),
+idf AS (
+  SELECT term,
+         floor(1000000.0 * ln(1.0 + (nd::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)))::BIGINT AS idf_u
+  FROM dfq, stats
+),
+sc AS (
+  SELECT qt.query_id, p.doc_id,
+         sum(floor(idf_u::DOUBLE *
+               (tf::DOUBLE * 2.2 /
+                (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE / (tt::DOUBLE / nd::DOUBLE))))))::BIGINT AS score_u
+  FROM p JOIN idf USING (term) JOIN qt USING (term), stats
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, score_u,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id)::BIGINT AS rk
+  FROM sc
+)
+SELECT query_id, doc_id, score_u, rk FROM r WHERE rk <= 10
+"""
+
     text_blocklist_sql = r"""
 WITH w AS (
   SELECT doc_id::BIGINT AS doc_id,
@@ -3578,6 +3641,7 @@ FROM pr{_pr_iters} JOIN pdeg USING (u)
         "corpus_rollup": corpus_rollup_sql,
         "text_decontaminate": text_decontaminate_sql,
         "text_dup_spans": text_dup_spans_sql,
+        "text_bm25": text_bm25_sql,
         "text_blocklist": text_blocklist_sql,
         "text_tfidf": text_tfidf_sql,
         "dedup_embedding": dedup_embedding_sql,

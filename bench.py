@@ -157,6 +157,8 @@ def main() -> None:
         "text_decontaminate": lambda s: q["text_decontaminate"](s, SF_DIR).count(),
         # exact substring-duplication spans (granular dedup, Lee et al.)
         "text_dup_spans": lambda s: q["text_dup_spans"](s, SF_DIR).count(),
+        # BM25 lexical retrieval (query-vocab-filtered postings only)
+        "text_bm25": lambda s: q["text_bm25"](s, SF_DIR).count(),
         "text_blocklist": lambda s: q["text_blocklist"](s, SF_DIR).count(),
         "text_tfidf": lambda s: q["text_tfidf"](s, SF_DIR).count(),
         "spans_exact_dedup": lambda s: q["spans_exact_dedup"](s, SF_DIR).count(),
