@@ -1489,6 +1489,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_span_share",
         )
 
+    def spans_media_audit(spark, sf_dir):
+        # media-store referential integrity over the interleaved shape:
+        # the store is derived deterministically from the same synth
+        # (refs with (doc+i)%3==0 are MISSING -> orphans; payload hash
+        # keyed by (doc*31+i)%1000 -> some assets serve many refs ->
+        # re-upload duplicates). Orphaned docs can't be rendered or
+        # trained on; shared payloads are the media analog of text
+        # near-dups.
+        from pprl_spark.operators.spans import media_ref_audit
+
+        inter = _interleaved_docs(spark, sf_dir)
+        refs = inter.select(
+            F.explode(
+                F.filter(F.col("spans"), lambda s: s["kind"] != F.lit("text"))
+            ).alias("_s")
+        ).select(F.col("_s.media_ref").alias("media_ref"))
+        parts = F.split("media_ref", "/")
+        store = (
+            refs.select(
+                "media_ref",
+                parts.getItem(2).cast("long").alias("_d"),
+                parts.getItem(3).cast("long").alias("_i"),
+            )
+            .where((F.col("_d") + F.col("_i")) % 3 != 0)
+            .select(
+                "media_ref",
+                F.sha2(
+                    F.concat(
+                        F.lit("p"),
+                        ((F.col("_d") * 31 + F.col("_i")) % 1000).cast("string"),
+                    ),
+                    256,
+                ).alias("payload_hash"),
+            )
+        )
+        return media_ref_audit(inter, store).select(
+            "doc_id", "n_media_refs", "n_orphan_refs", "n_shared_refs"
+        )
+
     def text_chunks(spark, sf_dir):
         # overlapping token-window chunking (size 20, stride 10) — the
         # training/RAG preprocessing step; chunks are built as one array
@@ -2320,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_exact_dedup": spans_exact_dedup,
         "spans_chunked": spans_chunked,
         "spans_modality": spans_modality,
+        "spans_media_audit": spans_media_audit,
         "dedup_canonical": dedup_canonical,
         "sample_stratified": sample_stratified,
         "sample_token_budget": sample_token_budget,
@@ -3578,6 +3618,31 @@ FROM sp
 """
     )
 
+    # media-audit twin: same interleaved synth; store rebuilt from the
+    # odd-segment range directly (ref strings are exactly the odd i's)
+    spans_media_audit_sql = (
+        _interleaved_cte
+        + r""",
+mi AS (SELECT doc_id, unnest(range(0, nseg)) AS i FROM base),
+refs AS (
+  SELECT doc_id, 'img://' || doc_id || '/' || i AS ref, i
+  FROM mi WHERE i % 2 = 1
+),
+store AS (
+  SELECT ref, sha256('p' || ((doc_id * 31 + i) % 1000)::VARCHAR) AS h
+  FROM refs WHERE (doc_id + i) % 3 <> 0
+),
+pc AS (SELECT h, count(DISTINCT ref)::BIGINT AS n FROM store GROUP BY h),
+st AS (SELECT store.ref, (pc.n > 1) AS shared FROM store JOIN pc USING (h))
+SELECT r.doc_id,
+       count(*)::BIGINT AS n_media_refs,
+       sum(CASE WHEN st.ref IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphan_refs,
+       sum(CASE WHEN coalesce(st.shared, false) THEN 1 ELSE 0 END)::BIGINT AS n_shared_refs
+FROM refs r LEFT JOIN st ON st.ref = r.ref
+GROUP BY 1
+"""
+    )
+
     # pagerank twin: the fixed-point power iteration UNROLLED as chained
     # CTEs generated by the same loop constants as the operator
     # (iterations=5, damping 85/100, scale 10^12) — pure integer
@@ -4013,6 +4078,7 @@ WHERE ('0x' || substring(sha256('7:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 10
         "spans_roundtrip": spans_roundtrip_sql,
         "spans_chunked": spans_chunked_sql,
         "spans_modality": spans_modality_sql,
+        "spans_media_audit": spans_media_audit_sql,
         "text_stats": text_stats_sql,
         "ann_topk": ann_topk_sql,
         "ann_lsh_buckets": ann_lsh_sql,

@@ -166,6 +166,7 @@ def main() -> None:
         # interleaved shape (pure array-expression scans, no shuffle)
         "spans_chunked": lambda s: q["spans_chunked"](s, SF_DIR).count(),
         "spans_modality": lambda s: q["spans_modality"](s, SF_DIR).count(),
+        "spans_media_audit": lambda s: q["spans_media_audit"](s, SF_DIR).count(),
         "spans_cross_media": lambda s: q["spans_cross_media"](s, SF_DIR).count(),
         "sample_token_budget": lambda s: q["sample_token_budget"](s, SF_DIR).count(),
         "text_quality_trim": lambda s: q["text_quality_trim"](s, SF_DIR).count(),

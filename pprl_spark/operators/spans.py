@@ -186,3 +186,59 @@ def modality_profile(
         media_kinds.alias("media_kinds"),
         (n_text.cast("double") / n_spans.cast("double")).alias("text_span_share"),
     ).where(F.col("n_spans") > 0)
+
+
+def media_ref_audit(
+    docs: DataFrame,
+    media: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    ref_col: str = "media_ref",
+    hash_col: str = "payload_hash",
+) -> DataFrame:
+    """Media-store referential-integrity audit -> (doc_id, n_media_refs,
+    n_orphan_refs, n_shared_refs).
+
+    The two failure modes of an interleaved corpus's media store:
+    *orphans* (a span references an asset the store no longer has —
+    deletion races, partial ingests; these documents cannot be fully
+    rendered or trained on) and *re-uploads* (distinct refs whose
+    payload hash is identical — the same image ingested under many
+    names, the media analog of text near-dups; ``n_shared_refs`` counts
+    a doc's refs whose payload serves >1 distinct ref in the store).
+
+    Scale shape: media spans explode to slim (doc_id, ref) rows — text
+    and payloads never move; the store side collapses to per-payload
+    distinct-ref counts (map-side combined) joined back to refs by
+    hash; the audit join is a plain equi-join on the ref string and the
+    result is one groupBy(doc_id) over the (sparse) media-span rows.
+    """
+    refs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.col(spans_col), lambda s: s["kind"] != TEXT_KIND)
+        ).alias("_s"),
+    ).select(
+        id_col, F.col(f"_s.{ref_col}").alias("_ref")
+    ).where(F.col("_ref").isNotNull())
+    payload_counts = media.groupBy(hash_col).agg(
+        F.count_distinct(ref_col).cast("long").alias("_n_refs")
+    )
+    store = media.select(
+        F.col(ref_col).alias("_ref"), F.col(hash_col).alias("_h")
+    ).join(
+        payload_counts.select(
+            F.col(hash_col).alias("_h"), (F.col("_n_refs") > 1).alias("_shared")
+        ),
+        "_h",
+    ).select("_ref", "_shared", F.lit(1).alias("_present"))
+    joined = refs.join(store, "_ref", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_media_refs"),
+        F.sum(F.when(F.col("_present").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphan_refs"),
+        F.sum(F.when(F.col("_shared"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_refs"),
+    )

@@ -134,3 +134,33 @@ def test_chunk_spans_partitioning_independent(spark):
         tuple(r) for r in chunk_spans(df.repartition(7), budget=12).collect()
     )
     assert one == many
+
+
+def test_media_ref_audit_golden(spark):
+    from pprl_spark.operators.spans import media_ref_audit
+
+    docs = spark.createDataFrame(
+        [
+            _doc(
+                1,
+                [
+                    ("text", "hello", None, 0),
+                    ("image", None, "m1", 1),
+                    ("image", None, "m2", 2),
+                    ("image", None, "missing", 3),
+                ],
+            ),
+            _doc(2, [("image", None, "m3", 0), ("audio", None, "m1", 1)]),
+            _doc(3, [("text", "no media at all", None, 0)]),
+        ],
+        SCHEMA,
+    )
+    # m1 and m3 share a payload (re-upload); m2 unique; "missing" orphan
+    media = spark.createDataFrame(
+        [("m1", "hashA"), ("m2", "hashB"), ("m3", "hashA")],
+        "media_ref string, payload_hash string",
+    )
+    got = {r.doc_id: r for r in media_ref_audit(docs, media).collect()}
+    assert set(got) == {1, 2}  # doc 3 has no media spans
+    assert (got[1].n_media_refs, got[1].n_orphan_refs, got[1].n_shared_refs) == (3, 1, 1)
+    assert (got[2].n_media_refs, got[2].n_orphan_refs, got[2].n_shared_refs) == (2, 0, 2)
