@@ -164,3 +164,26 @@ def test_media_ref_audit_golden(spark):
     assert set(got) == {1, 2}  # doc 3 has no media spans
     assert (got[1].n_media_refs, got[1].n_orphan_refs, got[1].n_shared_refs) == (3, 1, 1)
     assert (got[2].n_media_refs, got[2].n_orphan_refs, got[2].n_shared_refs) == (2, 0, 2)
+
+
+def test_span_operators_plan_shapes(spark):
+    """chunk_spans / modality_profile are pure scans (the packing fold
+    and composition report add NO Exchange of their own); the review
+    sampler's per-bin top-k rides WindowGroupLimit (k-row buffers
+    map-side, no full sort of the pair table)."""
+    from pprl_spark.operators.sampling import pair_review_sample
+    from pprl_spark.operators.spans import chunk_spans, modality_profile
+
+    docs = spark.createDataFrame(
+        [_doc(1, [("text", "a b", None, 0), ("image", None, "m", 1)])], SCHEMA
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "Exchange" not in plan(modality_profile(docs))
+    assert "Exchange" not in plan(chunk_spans(docs, budget=8))
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.5), (3, 4, 0.9)], "id1 long, id2 long, sim double"
+    )
+    assert "WindowGroupLimit" in plan(pair_review_sample(pairs, k_per_bin=2))
