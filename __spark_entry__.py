@@ -971,6 +971,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("cos", 6).alias("cos"),
         )
 
+    def dedup_semantic(spark, sf_dir):
+        # SemDeDup (cluster-bounded quadratic cosine): deterministic
+        # 16-centroid quantizer, within-cluster pairwise check at the
+        # same 0.4 threshold as the LSH variant — the two recall shapes
+        # of embedding dedup side by side
+        from pprl_spark.operators.dedup import semantic_duplicates
+
+        out = semantic_duplicates(
+            _embeddings(spark, sf_dir), threshold=0.4, n_centroids=16
+        )
+        # -1 sentinel: the compare harness sorts row tuples in Python,
+        # which cannot order NULLs
+        return out.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cent_id").cast("long").alias("cent_id"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+            "is_dup",
+        )
+
     def dedup_clusters(spark, sf_dir):
         # canonical-ID assignment for a dedup pipeline: connected
         # components over the MinHash near-dup pair graph (same params as
@@ -2339,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
+        "dedup_semantic": dedup_semantic,
         "dedup_exact": dedup_exact,
         "dedup_clusters": dedup_clusters,
         "delta_clusters": delta_clusters,
@@ -2773,6 +2793,31 @@ ranked AS (
   FROM scored
 )
 SELECT * FROM ranked WHERE rank <= 5
+"""
+
+    # SemDeDup twin: same lowest-id quantizer/assignment CTE as
+    # ann_ivf_sql, quadratic check within lists only
+    dedup_semantic_sql = f"""
+WITH c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, cv AS centv FROM c ORDER BY vec_id LIMIT 16),
+lists AS (
+  SELECT vec_id, cv, cent_id FROM (
+    SELECT c.vec_id, c.cv, cent.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_cos_sql('cv', 'centv')} DESC, cent.cent_id ASC) AS r
+    FROM c, cent
+  ) WHERE r = 1
+),
+dup AS (
+  SELECT b.vec_id, min(a.vec_id)::BIGINT AS dup_of
+  FROM lists a JOIN lists b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.cv', 'b.cv')} >= 0.4
+  GROUP BY b.vec_id
+)
+SELECT l.vec_id::BIGINT AS vec_id, l.cent_id::BIGINT AS cent_id,
+       coalesce(d.dup_of, -1)::BIGINT AS dup_of,
+       (d.dup_of IS NOT NULL) AS is_dup
+FROM lists l LEFT JOIN dup d USING (vec_id)
 """
 
     multimodal_meta_sql = """
@@ -3710,6 +3755,7 @@ FROM pr{_pr_iters} JOIN pdeg USING (u)
         "text_blocklist": text_blocklist_sql,
         "text_tfidf": text_tfidf_sql,
         "dedup_embedding": dedup_embedding_sql,
+        "dedup_semantic": dedup_semantic_sql,
         "dedup_ngram_jaccard": dedup_ngram_sql,
         "pprl_skipgrams": skipgrams_sql,
         "features_native": features_native_sql,

@@ -85,6 +85,8 @@ def main() -> None:
             entry._docs(s, SF_DIR), k=3, threshold=0.5
         ).count(),
         "dedup_simhash": lambda s: simhash_near_duplicates(entry._docs(s, SF_DIR)).count(),
+        # SemDeDup: cluster-bounded quadratic embedding dedup
+        "dedup_semantic": lambda s: q["dedup_semantic"](s, SF_DIR).count(),
         # exact prefix-filter set-similarity join (lossless counterpart
         # of dedup_minhash over the same k=2 shingle sets)
         "dedup_setjoin": lambda s: q["dedup_setjoin"](s, SF_DIR).count(),

@@ -692,3 +692,83 @@ def delta_near_duplicates(
         .where(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+def semantic_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int | None = None,
+    kmeans_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize: str = "checkpoint",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup -> (vec_id, cent_id, dup_of, is_dup).
+
+    The k-means-bucketed embedding dedup of Abbas et al. 2023
+    ("SemDeDup"): cluster the corpus embeddings with the coarse
+    quantizer, then run the exact pairwise-cosine check ONLY within each
+    cluster — the clusters bound the quadratic cost, which is the
+    paper's entire scaling argument (cross-cluster near-dups are
+    sacrificed by design; the complementary recall shape is
+    :func:`embedding_near_duplicates`' hyperplane-LSH multi-probe). A
+    vector is a duplicate iff a lower-id vector in its cluster is within
+    ``threshold`` cosine; ``dup_of`` is the lowest such id (the
+    keep-first convention shared with exact_duplicates), so survivors
+    are exactly the ``is_dup = false`` rows.
+
+    Scale shape: the quantizer is the broadcast nearest-centroid
+    assignment of ``ann.ivf_assign`` (one corpus scan, vectors never
+    shuffle for assignment); the within-cluster self-join shuffles on
+    cent_id — list sizes are the knob (``n_centroids ~ sqrt(n)`` keeps
+    E[list] ~ sqrt(n)); the assigned table is materialized once so the
+    quantizer does not recompute per join arm. ``kmeans_iters=0`` keeps
+    the deterministic lowest-id quantizer (oracle-checkable);
+    ``> 0`` runs sampled Lloyd steps for better-balanced lists.
+    """
+    from pprl_spark.operators.ann import (
+        _lloyd_centroids,
+        auto_n_centroids,
+        cosine,
+        ivf_assign,
+    )
+
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(vectors.count())
+    if kmeans_iters > 0:
+        cent = _lloyd_centroids(vectors, n_centroids, kmeans_iters, id_col, vec_col)
+    else:
+        cent = (
+            vectors.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            )
+            .orderBy("vec_id")
+            .limit(n_centroids)
+        )
+    lists = ivf_assign(
+        vectors, cent, nprobe=1, id_col=id_col, vec_col=vec_col,
+        cent_id_col="vec_id", cent_vec_col="embedding",
+    )
+    base = _materialize(
+        lists.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"), "cent_id"
+        ),
+        materialize,
+    )
+    a = base.select("cent_id", F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    b = base.select("cent_id", F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    dup = (
+        a.join(b, "cent_id")
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("cos", cosine(F.col("v1"), F.col("v2")))
+        .where(F.col("cos") >= threshold)
+        .groupBy(F.col("id2").alias("vec_id"))
+        .agg(F.min("id1").alias("dup_of"))
+    )
+    return (
+        base.select("vec_id", "cent_id")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id", "cent_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup")
+        )
+    )

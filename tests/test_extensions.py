@@ -698,3 +698,59 @@ def test_event_percentiles_and_topk(spark):
         assert [rk for rk, _, _ in sorted(rs)] == [1, 2]
         # counts tie at 25 per user here, so rank ties break by user_id asc
         assert sorted(rs)[0][1] < sorted(rs)[1][1]
+
+
+def test_semantic_duplicates_golden(spark):
+    from pprl_spark.operators.dedup import semantic_duplicates
+
+    # 2 centroids (lowest ids 1, 2); ids 3,4 colinear with centroid 1
+    # (dup group keeps lowest id 1); id 5 duplicates centroid 2; id 6
+    # lands in cluster 2 but is orthogonal to everything there
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.01]),
+        (4, [2.0, 0.02]),
+        (5, [0.0, 2.0]),
+        (6, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r
+        for r in semantic_duplicates(
+            df, threshold=0.99, n_centroids=2, materialize="none"
+        ).collect()
+    }
+    assert not got[1].is_dup and not got[2].is_dup
+    assert got[3].is_dup and got[3].dup_of == 1
+    assert got[4].is_dup and got[4].dup_of == 1
+    assert got[5].is_dup and got[5].dup_of == 2
+    assert not got[6].is_dup and got[6].cent_id == 2
+    # survivors are exactly the is_dup=false rows (keep-first)
+    assert {v for v, r in got.items() if not r.is_dup} == {1, 2, 6}
+
+
+def test_semantic_duplicates_cluster_bounded(spark):
+    from pprl_spark.operators.dedup import semantic_duplicates
+
+    # near-identical vectors split across DIFFERENT clusters are NOT
+    # paired — the documented SemDeDup recall sacrifice. Centroids sit
+    # at 0° and 45°, so the Voronoi boundary is 22.5°; ids 3 and 4
+    # straddle it at 23° and 22° (cos(1°) = 0.99985 apart).
+    import math
+
+    def ang(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [(1, ang(0.0)), (2, ang(45.0)), (3, ang(23.0)), (4, ang(22.0))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r
+        for r in semantic_duplicates(
+            df, threshold=0.999, n_centroids=2, materialize="none"
+        ).collect()
+    }
+    assert got[3].cent_id == 2 and got[4].cent_id == 1
+    # the 0.99985-cosine pair (3,4) is invisible across the boundary,
+    # and neither is within 0.999 of its own centroid's other members
+    assert not got[3].is_dup and not got[4].is_dup
