@@ -971,6 +971,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("cos", 6).alias("cos"),
         )
 
+    def dedup_snm_pairs(spark, sf_dir):
+        # classic sorted-neighborhood (merge/purge) blocking over the
+        # documents table: global (first-two-words | padded-id) order
+        # computed DISTRIBUTED via the zipWithIndex rank (no
+        # single-partition window), w=4 neighborhood as a rank
+        # equi-join — the n·(w-1) pair budget that key-equality
+        # blocking cannot offer
+        from pprl_spark.operators.blocking import snm_window_pairs
+
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.array_join(F.slice(TXT.words_col("text"), 1, 2), " ").alias("k2"),
+        )
+        return snm_window_pairs(docs, "k2", w=4)
+
     def dedup_semantic(spark, sf_dir):
         # SemDeDup (cluster-bounded quadratic cosine): deterministic
         # 16-centroid quantizer, within-cluster pairwise check at the
@@ -2359,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
         "dedup_semantic": dedup_semantic,
+        "dedup_snm_pairs": dedup_snm_pairs,
         "dedup_exact": dedup_exact,
         "dedup_clusters": dedup_clusters,
         "delta_clusters": delta_clusters,
@@ -2793,6 +2809,27 @@ ranked AS (
   FROM scored
 )
 SELECT * FROM ranked WHERE rank <= 5
+"""
+
+    # SNM twin: row_number over the identical concat sort key (binary
+    # collation in both engines), rank-difference join
+    dedup_snm_sql = r"""
+WITH wx AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+k AS (
+  SELECT doc_id,
+         array_to_string(w[1:2], ' ') || '|' || lpad(doc_id::VARCHAR, 20, '0') AS ok
+  FROM wx
+),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY ok) - 1 AS rn FROM k),
+p AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+)
+SELECT least(ida, idb)::BIGINT AS id1, greatest(ida, idb)::BIGINT AS id2 FROM p
 """
 
     # SemDeDup twin: same lowest-id quantizer/assignment CTE as
@@ -3756,6 +3793,7 @@ FROM pr{_pr_iters} JOIN pdeg USING (u)
         "text_tfidf": text_tfidf_sql,
         "dedup_embedding": dedup_embedding_sql,
         "dedup_semantic": dedup_semantic_sql,
+        "dedup_snm_pairs": dedup_snm_sql,
         "dedup_ngram_jaccard": dedup_ngram_sql,
         "pprl_skipgrams": skipgrams_sql,
         "features_native": features_native_sql,

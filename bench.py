@@ -87,6 +87,8 @@ def main() -> None:
         "dedup_simhash": lambda s: simhash_near_duplicates(entry._docs(s, SF_DIR)).count(),
         # SemDeDup: cluster-bounded quadratic embedding dedup
         "dedup_semantic": lambda s: q["dedup_semantic"](s, SF_DIR).count(),
+        # distributed sorted-neighborhood window pairs (rank equi-join)
+        "dedup_snm": lambda s: q["dedup_snm_pairs"](s, SF_DIR).count(),
         # exact prefix-filter set-similarity join (lossless counterpart
         # of dedup_minhash over the same k=2 shingle sets)
         "dedup_setjoin": lambda s: q["dedup_setjoin"](s, SF_DIR).count(),

@@ -230,3 +230,66 @@ def blocking_stats(
         F.coalesce(F.col("n_blocks"), F.lit(-1)).cast("long").alias("n_blocks"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def snm_window_pairs(
+    df: DataFrame,
+    key_col: str,
+    w: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classic sorted-neighborhood pairs -> (id1, id2), id1 < id2.
+
+    The Hernandez-Stolfo merge/purge blocking: sort the corpus by
+    ``key_col`` (tie-broken by id) and pair every row with the ``w - 1``
+    rows that FOLLOW it in the global order. Complements key-equality
+    blocking: a window catches records whose keys are merely *adjacent*
+    (typos in the last character, truncations) that no exact key join
+    can see, at a guaranteed ``n * (w - 1)`` pair budget.
+
+    Scale shape — the naive formulation is a single-partition global
+    window, which caps the operator at one core. Here the global sort
+    rank is computed distributed via the zipWithIndex pattern
+    (``private_index._numbered`` with ``range_by=True``: range
+    partitions ascend with the key ranges, so partition-local
+    row_number + broadcast cumulative offsets IS the global rank — no
+    single-task window anywhere), and the w-window becomes a plain
+    equi-join of each rank against its next ``w - 1`` ranks (a
+    ``sequence`` explode, fan-out exactly w-1). The pair SET is exact
+    by construction — rank arithmetic has none of the partition-
+    boundary edge cases a borrowed-rows window scheme has (a range
+    partition smaller than w would silently drop straddling pairs
+    there). Only (key, id, rank) ride the shuffles; the ranked frame is
+    materialized once inside ``_numbered``.
+    """
+    # package-internal reuse of the zipWithIndex machinery; see
+    # private_index._numbered for the range_by global-rank argument
+    from pprl_spark.operators.private_index import _numbered
+
+    if w < 2:
+        raise ValueError(f"w must be >= 2, got {w}")
+    slim = df.select(
+        F.col(id_col).alias("_id"),
+        F.concat(
+            F.col(key_col).cast("string"),
+            F.lit("|"),
+            F.lpad(F.col(id_col).cast("string"), 20, "0"),
+        ).alias("_ok"),
+    )
+    numbered, n = _numbered(slim, "_ok", offset=0, range_by=True)
+    a = (
+        numbered.where(F.col("slot") < n - 1)
+        .select(
+            F.col("_id").alias("ida"),
+            F.explode(
+                F.sequence(
+                    F.col("slot") + 1,
+                    F.least(F.col("slot") + (w - 1), F.lit(n - 1)),
+                )
+            ).alias("_s"),
+        )
+    )
+    b = numbered.select(F.col("_id").alias("idb"), F.col("slot").alias("_s"))
+    return a.join(b, "_s").select(
+        F.least("ida", "idb").alias("id1"), F.greatest("ida", "idb").alias("id2")
+    )

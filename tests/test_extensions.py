@@ -754,3 +754,45 @@ def test_semantic_duplicates_cluster_bounded(spark):
     # the 0.99985-cosine pair (3,4) is invisible across the boundary,
     # and neither is within 0.999 of its own centroid's other members
     assert not got[3].is_dup and not got[4].is_dup
+
+
+def test_snm_window_pairs_matches_bruteforce(spark):
+    import random
+
+    from pprl_spark.operators.blocking import snm_window_pairs
+
+    rng = random.Random(7)
+    rows = [(i, "".join(rng.choice("abc") for _ in range(3))) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    for w in (2, 4):
+        got = sorted(
+            (r.id1, r.id2) for r in snm_window_pairs(df, "k", w=w).collect()
+        )
+        order = sorted(rows, key=lambda t: f"{t[1]}|{t[0]:020d}")
+        exp = set()
+        for i in range(len(order)):
+            for j in range(i + 1, min(i + w, len(order))):
+                a, b = order[i][0], order[j][0]
+                exp.add((min(a, b), max(a, b)))
+        assert set(got) == exp and len(got) == len(exp)  # exact, no dups
+
+
+def test_snm_window_pairs_partitioning_independent(spark):
+    import random
+
+    from pprl_spark.operators.blocking import snm_window_pairs
+
+    rng = random.Random(13)
+    rows = [(i, "".join(rng.choice("xyz") for _ in range(2))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    one = sorted(tuple(r) for r in snm_window_pairs(df.repartition(1), "k", w=3).collect())
+    many = sorted(tuple(r) for r in snm_window_pairs(df.repartition(9), "k", w=3).collect())
+    assert one == many
+
+
+def test_snm_window_pairs_validation(spark):
+    from pprl_spark.operators.blocking import snm_window_pairs
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, k string")
+    with pytest.raises(ValueError):
+        snm_window_pairs(df, "k", w=1)
