@@ -971,6 +971,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("cos", 6).alias("cos"),
         )
 
+    def dedup_split(spark, sf_dir):
+        # leakage-free train/valid/test split: the split key is the
+        # near-dup ENTITY (cc canonical id, singletons = own id), so
+        # every member of a duplicate group lands in the same split —
+        # the contamination channel doc-hash splits leave open. 80/10/10
+        # at salt 5; one codegen'd CASE, no shuffle beyond cc itself.
+        from pprl_spark.operators.cluster import connected_components
+        from pprl_spark.operators.sampling import entity_consistent_split
+
+        pairs = _minhash_dedup_pairs(spark, sf_dir)
+        cc = connected_components(pairs.select("id1", "id2"))
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+        asg = docs.join(
+            cc.select("doc_id", "entity_id"), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.coalesce("entity_id", "doc_id").cast("long").alias("entity_id"),
+        )
+        return entity_consistent_split(
+            asg, [("train", 0.8), ("valid", 0.1), ("test", 0.1)], salt=5
+        ).select("doc_id", "entity_id", "split")
+
     def dedup_snm_pairs(spark, sf_dir):
         # classic sorted-neighborhood (merge/purge) blocking over the
         # documents table: global (first-two-words | padded-id) order
@@ -2375,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "dedup_semantic": dedup_semantic,
         "dedup_snm_pairs": dedup_snm_pairs,
+        "dedup_split": dedup_split,
         "dedup_exact": dedup_exact,
         "dedup_clusters": dedup_clusters,
         "delta_clusters": delta_clusters,
@@ -3725,6 +3750,28 @@ GROUP BY 1
 """
     )
 
+    # split twin: spliced cc + identical sha256 entity-hash thresholds
+    _split_hash = "('0x' || substring(sha256('5:' || entity_id::VARCHAR), 1, 15))::BIGINT % 1000000"
+    dedup_split_sql = (
+        dedup_clusters_sql.replace(
+            "SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n",
+            ", cc AS (SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n)",
+            1,
+        )
+        + f"""
+, alldocs AS (SELECT doc_id::BIGINT AS doc_id FROM documents),
+asg AS (
+  SELECT a.doc_id, coalesce(cc.entity_id, a.doc_id)::BIGINT AS entity_id
+  FROM alldocs a LEFT JOIN cc ON cc.doc_id = a.doc_id
+)
+SELECT doc_id, entity_id,
+       CASE WHEN {_split_hash} < 800000 THEN 'train'
+            WHEN {_split_hash} < 900000 THEN 'valid'
+            ELSE 'test' END AS split
+FROM asg
+"""
+    )
+
     # pagerank twin: the fixed-point power iteration UNROLLED as chained
     # CTEs generated by the same loop constants as the operator
     # (iterations=5, damping 85/100, scale 10^12) — pure integer
@@ -3794,6 +3841,7 @@ FROM pr{_pr_iters} JOIN pdeg USING (u)
         "dedup_embedding": dedup_embedding_sql,
         "dedup_semantic": dedup_semantic_sql,
         "dedup_snm_pairs": dedup_snm_sql,
+        "dedup_split": dedup_split_sql,
         "dedup_ngram_jaccard": dedup_ngram_sql,
         "pprl_skipgrams": skipgrams_sql,
         "features_native": features_native_sql,

@@ -89,6 +89,8 @@ def main() -> None:
         "dedup_semantic": lambda s: q["dedup_semantic"](s, SF_DIR).count(),
         # distributed sorted-neighborhood window pairs (rank equi-join)
         "dedup_snm": lambda s: q["dedup_snm_pairs"](s, SF_DIR).count(),
+        # leakage-free entity-keyed split (rides the minhash pair memo)
+        "dedup_split": lambda s: q["dedup_split"](s, SF_DIR).count(),
         # exact prefix-filter set-similarity join (lossless counterpart
         # of dedup_minhash over the same k=2 shingle sets)
         "dedup_setjoin": lambda s: q["dedup_setjoin"](s, SF_DIR).count(),

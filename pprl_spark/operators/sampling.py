@@ -196,3 +196,45 @@ def pair_review_sample(
         .where(F.col("rk") <= k_per_bin)
         .drop("_h")
     )
+
+
+def entity_consistent_split(
+    df: DataFrame,
+    splits: list[tuple[str, float]],
+    entity_col: str = "entity_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Assign a leakage-free train/valid/test split -> df + ``split``.
+
+    Splitting by document hash leaks: near-duplicate documents land on
+    both sides of the train/eval boundary, and the model is scored on
+    its own training data (the contamination the dedup literature keeps
+    measuring). Splitting by the ENTITY key instead — the connected-
+    component canonical id of the near-dup graph — puts every member of
+    a duplicate group in the same split by construction. Membership is
+    the usual content-addressed hash (pure function of entity + salt):
+    reproducible across runs, partitionings and resumes, auditable
+    after the fact.
+
+    ``splits`` is an ordered [(name, fraction), ...] list; fractions
+    must sum to 1 within 1 ppm (resolution of the hash buckets). The
+    assignment compiles to one codegen'd CASE over ``hash % 1e6`` —
+    a pure projection: no shuffle, no join, no action.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total_ppm = sum(int(round(f * PPM)) for _, f in splits)
+    if abs(total_ppm - PPM) > len(splits):
+        raise ValueError(
+            f"split fractions must sum to 1 (got {total_ppm / PPM:.6f})"
+        )
+    h = F.pmod(sample_hash(F.col(entity_col), salt), F.lit(PPM))
+    acc = 0
+    expr = None
+    for name, frac in splits[:-1]:
+        acc += int(round(frac * PPM))
+        cond = h < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -270,3 +270,43 @@ def test_pair_review_sample_validation(spark):
         pair_review_sample(df, k_per_bin=0)
     with pytest.raises(ValueError):
         pair_review_sample(df, n_bins=0)
+
+
+def test_entity_consistent_split_no_leakage(spark):
+    from pprl_spark.operators.sampling import entity_consistent_split
+
+    # 300 docs in 100 entities of 3 — every entity must land whole
+    rows = [(i, i // 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, entity_id long")
+    out = entity_consistent_split(
+        df, [("train", 0.8), ("valid", 0.1), ("test", 0.1)], salt=5
+    ).collect()
+    by_entity = {}
+    for r in out:
+        by_entity.setdefault(r.entity_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_entity.values())  # leakage-free
+    from collections import Counter
+
+    c = Counter(r.split for r in out)
+    assert set(c) <= {"train", "valid", "test"}
+    assert c["train"] > c["valid"] and c["train"] > c["test"]
+    # deterministic across partitionings
+    again = sorted(
+        tuple(r)
+        for r in entity_consistent_split(
+            df.repartition(7), [("train", 0.8), ("valid", 0.1), ("test", 0.1)], salt=5
+        ).collect()
+    )
+    assert again == sorted(tuple(r) for r in out)
+
+
+def test_entity_consistent_split_validation(spark):
+    import pytest
+
+    from pprl_spark.operators.sampling import entity_consistent_split
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, entity_id long")
+    with pytest.raises(ValueError):
+        entity_consistent_split(df, [])
+    with pytest.raises(ValueError):
+        entity_consistent_split(df, [("train", 0.5), ("test", 0.2)])
