@@ -995,6 +995,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             asg, [("train", 0.8), ("valid", 0.1), ("test", 0.1)], salt=5
         ).select("doc_id", "entity_id", "split")
 
+    def dedup_canonical_pr(spark, sf_dir):
+        # authority-based canonical selection: per near-dup entity, the
+        # survivor is the member with the highest fixed-point PageRank
+        # (most corroborated by independent near-matches) — the graph
+        # counterpart of dedup_canonical's quality-score pick. Integer
+        # pr_u makes the argmax engine-exact; rides the pair memo.
+        from pprl_spark.operators.cluster import connected_components, pagerank
+        from pyspark.sql import Window
+
+        pairs = _minhash_dedup_pairs(spark, sf_dir)
+        cc = connected_components(pairs.select("id1", "id2"))
+        pr = pagerank(pairs.select("id1", "id2"), iterations=5)
+        j = cc.join(pr.select("doc_id", "pr_u"), "doc_id")
+        w = Window.partitionBy("entity_id").orderBy(
+            F.desc("pr_u"), F.asc("doc_id")
+        )
+        return (
+            j.withColumn("_r", F.row_number().over(w))
+            .withColumn(
+                "n_members",
+                F.count("*").over(Window.partitionBy("entity_id")).cast("long"),
+            )
+            .where(F.col("_r") == 1)
+            .select(
+                F.col("entity_id").cast("long").alias("entity_id"),
+                F.col("doc_id").cast("long").alias("canonical_id"),
+                "n_members",
+                "pr_u",
+            )
+        )
+
     def dedup_snm_pairs(spark, sf_dir):
         # classic sorted-neighborhood (merge/purge) blocking over the
         # documents table: global (first-two-words | padded-id) order
@@ -2400,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup_semantic,
         "dedup_snm_pairs": dedup_snm_pairs,
         "dedup_split": dedup_split,
+        "dedup_canonical_pr": dedup_canonical_pr,
         "dedup_exact": dedup_exact,
         "dedup_clusters": dedup_clusters,
         "delta_clusters": delta_clusters,
@@ -3819,6 +3851,30 @@ FROM pr{_pr_iters} JOIN pdeg USING (u)
         1,
     )
 
+    # pagerank-canonical twin: cc walk AND the unrolled power iteration
+    # spliced over the SAME nd pair CTE, per-entity argmax by (pr_u, id)
+    dedup_canonical_pr_sql = (
+        dedup_clusters_sql.replace(
+            "SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n",
+            ", cc AS (SELECT n::BIGINT AS doc_id, min(lbl)::BIGINT AS entity_id FROM walk GROUP BY n)",
+            1,
+        )
+        + ",\n"
+        + _pr_cte
+        + f""",
+ranked AS (
+  SELECT cc.entity_id, cc.doc_id, p.v AS pr_u,
+         row_number() OVER (PARTITION BY cc.entity_id
+                            ORDER BY p.v DESC, cc.doc_id ASC) AS r,
+         count(*) OVER (PARTITION BY cc.entity_id) AS n_members
+  FROM cc JOIN pr{_pr_iters} p ON p.u = cc.doc_id
+)
+SELECT entity_id::BIGINT AS entity_id, doc_id::BIGINT AS canonical_id,
+       n_members::BIGINT AS n_members, pr_u
+FROM ranked WHERE r = 1
+"""
+    )
+
     return {
         "vocab_topk": vocab_topk_sql,
         "text_surprisal": text_surprisal_sql,
@@ -3842,6 +3898,7 @@ FROM pr{_pr_iters} JOIN pdeg USING (u)
         "dedup_semantic": dedup_semantic_sql,
         "dedup_snm_pairs": dedup_snm_sql,
         "dedup_split": dedup_split_sql,
+        "dedup_canonical_pr": dedup_canonical_pr_sql,
         "dedup_ngram_jaccard": dedup_ngram_sql,
         "pprl_skipgrams": skipgrams_sql,
         "features_native": features_native_sql,

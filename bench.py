@@ -140,6 +140,8 @@ def main() -> None:
         "graph_triangles": lambda s: q["graph_triangles"](s, SF_DIR).count(),
         # fixed-point PageRank over the near-dup graph (pair-memo rider)
         "graph_pagerank": lambda s: q["graph_pagerank"](s, SF_DIR).count(),
+        # authority-based canonical pick (cc + pagerank composition)
+        "dedup_canonical_pr": lambda s: q["dedup_canonical_pr"](s, SF_DIR).count(),
         # single-pass per-column ANALYZE profile
         "corpus_profile": lambda s: q["corpus_profile"](s, SF_DIR).count(),
         # bigram-LM cross-entropy scoring (order-2 CCNet filter)

@@ -235,3 +235,27 @@ def test_pagerank_validation(spark):
         pagerank(df, iterations=0)
     with pytest.raises(ValueError):
         pagerank(df, damping_pct=100)
+
+
+def test_pagerank_canonical_composition(spark):
+    # per-entity argmax pagerank: the star hub wins its component, the
+    # path's middle node wins the other
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pprl_spark.operators.cluster import connected_components, pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13)], "id1 long, id2 long"
+    )
+    cc = connected_components(edges)
+    pr = pagerank(edges, iterations=5, materialize="none")
+    w = Window.partitionBy("entity_id").orderBy(F.desc("pr_u"), F.asc("doc_id"))
+    top = (
+        cc.join(pr.select("doc_id", "pr_u"), "doc_id")
+        .withColumn("r", F.row_number().over(w))
+        .where("r = 1")
+        .collect()
+    )
+    canon = {r.entity_id: r.doc_id for r in top}
+    assert canon == {1: 2, 10: 10}
