@@ -61,54 +61,9 @@ def bm25_topk(
         raise ValueError(f"k must be positive, got {k}")
     if not queries:
         raise ValueError("queries must be non-empty")
-    vocab = sorted({t for q in queries.values() for t in q.lower().split() if t})
-    if not vocab:
-        raise ValueError("queries contain no terms")
+    vocab = _vocab(queries)
 
-    base = docs.select(
-        "doc_id", words_col(text_col).alias("_w")
-    ).where(F.size("_w") > 0)
-    # corpus stats: one broadcast row (N docs, total tokens)
-    stats = base.agg(
-        F.count("*").cast("long").alias("_nd"),
-        F.sum(F.size("_w")).cast("long").alias("_tt"),
-    )
-    # postings restricted to the query vocabulary BEFORE aggregation:
-    # the only rows that leave the scan are query-term hits
-    lit_vocab = F.array(*[F.lit(t) for t in vocab])
-    postings = (
-        base.select(
-            "doc_id",
-            F.size("_w").cast("long").alias("dl"),
-            F.explode(F.array_intersect(F.array_distinct("_w"), lit_vocab)).alias(
-                "term"
-            ),
-            F.col("_w"),
-        )
-        .select(
-            "doc_id",
-            "dl",
-            "term",
-            F.size(F.filter("_w", lambda x: x == F.col("term")))
-            .cast("long")
-            .alias("tf"),
-        )
-    )
-    df_tbl = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    # micro-nat IDF truncated at the tiny term table
-    idf = df_tbl.join(F.broadcast(stats)).select(
-        "term",
-        F.floor(
-            F.lit(float(MICRO))
-            * F.log(
-                F.lit(1.0)
-                + (F.col("_nd").cast("double") - F.col("df").cast("double") + 0.5)
-                / (F.col("df").cast("double") + 0.5)
-            )
-        )
-        .cast("long")
-        .alias("idf_u"),
-    )
+    postings, stats, idf = _postings_stats_idf(docs, vocab, text_col)
     qterms = F.broadcast(
         postings.sparkSession.createDataFrame(
             [(qid, t) for qid, q in sorted(queries.items()) for t in
@@ -152,4 +107,159 @@ def bm25_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
+    )
+
+def _postings_stats_idf(docs, vocab, text_col):
+    """Shared corpus pass: vocabulary-filtered postings, the 1-row
+    (n_docs, total_tokens) stats frame, and the micro-nat IDF table.
+    ``bm25_topk`` and ``bm25_index`` MUST score through the identical
+    expression tree, so both build it here."""
+    base = docs.select(
+        "doc_id", words_col(text_col).alias("_w")
+    ).where(F.size("_w") > 0)
+    stats = base.agg(
+        F.count("*").cast("long").alias("_nd"),
+        F.sum(F.size("_w")).cast("long").alias("_tt"),
+    )
+    # postings restricted to the query vocabulary BEFORE aggregation:
+    # the only rows that leave the scan are query-term hits
+    lit_vocab = F.array(*[F.lit(t) for t in vocab])
+    postings = (
+        base.select(
+            "doc_id",
+            F.size("_w").cast("long").alias("dl"),
+            F.explode(F.array_intersect(F.array_distinct("_w"), lit_vocab)).alias(
+                "term"
+            ),
+            F.col("_w"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            "term",
+            F.size(F.filter("_w", lambda x: x == F.col("term")))
+            .cast("long")
+            .alias("tf"),
+        )
+    )
+    df_tbl = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # micro-nat IDF truncated at the tiny term table
+    idf = df_tbl.join(F.broadcast(stats)).select(
+        "term",
+        F.floor(
+            F.lit(float(MICRO))
+            * F.log(
+                F.lit(1.0)
+                + (F.col("_nd").cast("double") - F.col("df").cast("double") + 0.5)
+                / (F.col("df").cast("double") + 0.5)
+            )
+        )
+        .cast("long")
+        .alias("idf_u"),
+    )
+    return postings, stats, idf
+
+
+def _vocab(queries):
+    vocab = sorted({t for q in queries.values() for t in q.lower().split() if t})
+    if not vocab:
+        raise ValueError("queries contain no terms")
+    return vocab
+
+
+def bm25_index(docs, queries, text_col: str = "text"):
+    """Build the standing retrieval index for a query workload ->
+    ``{"idf": {term: idf_u}, "nd": int, "tt": int}``.
+
+    The write-once/probe-many shape: the corpus statistics a BM25 score
+    needs — per-term micro-nat IDF, document count, total token count —
+    are bounded by the QUERY vocabulary (tens of values), so the index
+    collects to a driver dict and ships to any scorer as plain
+    literals. Build cost is one corpus scan; every subsequent probe
+    (batch or streaming) is stateless.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    vocab = _vocab(queries)
+    postings, stats, idf = _postings_stats_idf(docs, vocab, text_col)
+    s = stats.collect()[0]
+    return {
+        "idf": {r["term"]: r["idf_u"] for r in idf.collect()},
+        "nd": int(s["_nd"]),
+        "tt": int(s["_tt"]),
+    }
+
+
+def bm25_score_stream(
+    docs: DataFrame,
+    index: dict,
+    queries: dict[str, str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score arriving documents against a standing BM25 index ->
+    (doc_id, query_id, score_u); rows only for docs matching >= 1 term.
+
+    STATELESS streaming scorer (the retrieval analog of the delta-match
+    probe): the index is literal constants, per-term tf is an array
+    expression over the row's own tokens, and the per-query score is a
+    compile-time sum of floored integer contributions — identical
+    arithmetic to :func:`bm25_topk`'s scored stage, so for the corpus
+    the index was built on the scores agree EXACTLY. No join, no
+    shuffle, no watermark, no state: works verbatim on a
+    ``readStream`` frame in append mode. New documents are scored
+    against the CORPUS-AT-INDEX-TIME statistics by design (the standing
+    index contract); rebuild the index to refresh IDF.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    _vocab(queries)
+    idf_map, nd, tt = index["idf"], index["nd"], index["tt"]
+    w = words_col(text_col)
+    dl = F.size(w).cast("double")
+    avgdl = F.lit(float(tt)) / F.lit(float(nd))
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
+    per_query = []
+    for qid in sorted(queries):
+        terms = sorted({t for t in queries[qid].lower().split() if t})
+        contribs = []
+        matched = None
+        def _tf(term):
+            # factory, not a default-arg lambda: pyspark treats a
+            # two-parameter HOF lambda as the (element, index) form
+            return F.size(F.filter(w, lambda x: x == F.lit(term))).cast("double")
+
+        for t in terms:
+            if t not in idf_map:
+                continue  # term absent from the corpus: df=0, no postings
+            tf = _tf(t)
+            contribs.append(
+                F.floor(
+                    F.lit(float(idf_map[t]))
+                    * (tf * (k1 + 1.0) / (tf + norm))
+                ).cast("long")
+            )
+            m = tf > 0
+            matched = m if matched is None else (matched | m)
+        if not contribs:
+            continue
+        score = contribs[0]
+        for c in contribs[1:]:
+            score = score + c
+        per_query.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                score.cast("long").alias("score_u"),
+                matched.alias("_m"),
+            )
+        )
+    if not per_query:
+        raise ValueError("no query term appears in the index")
+    return (
+        docs.select(F.col(id_col), F.explode(F.array(*per_query)).alias("_q"))
+        .where(F.col("_q._m"))
+        .select(id_col, F.col("_q.query_id").alias("query_id"),
+                F.col("_q.score_u").alias("score_u"))
     )

@@ -65,3 +65,68 @@ def test_bm25_validation(spark):
         bm25_topk(df, {"q": "a"}, k=0)
     with pytest.raises(ValueError):
         bm25_topk(df, {"q": "   "}, k=5)
+
+
+def test_bm25_stream_scores_match_batch(spark, tmp_path):
+    from pprl_spark.operators.retrieval import bm25_index, bm25_score_stream, bm25_topk
+
+    import random
+
+    rng = random.Random(41)
+    vocab = ["apple", "banana", "cherry", "x", "y", "z"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 20))))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {"qa": "apple banana", "qb": "cherry z"}
+    idx = bm25_index(docs, q)
+
+    # batch equivalence: stateless scorer == the topk pipeline's scores
+    batch = {
+        (r.query_id, r.doc_id): r.score_u
+        for r in bm25_topk(docs, q, k=1000).collect()
+    }
+    scored = {
+        (r.query_id, r.doc_id): r.score_u
+        for r in bm25_score_stream(docs, idx, q).collect()
+    }
+    assert scored == batch  # exact integer equality, full map
+
+    # genuine readStream run (append mode, no state)
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    docs.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    out = bm25_score_stream(stream, idx, q)
+    assert out.isStreaming
+    qh = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    streamed = {
+        (r.query_id, r.doc_id): r.score_u for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == batch
+
+
+def test_bm25_index_handles_absent_terms(spark):
+    from pprl_spark.operators.retrieval import bm25_index, bm25_score_stream
+
+    docs = spark.createDataFrame([(1, "apple pie")], "doc_id long, text string")
+    idx = bm25_index(docs, {"q": "apple zzz_absent"})
+    assert "zzz_absent" not in idx["idf"]  # df=0 terms never enter the index
+    got = bm25_score_stream(docs, idx, {"q": "apple zzz_absent"}).collect()
+    assert len(got) == 1 and got[0].doc_id == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_score_stream(docs, idx, {"q": "zzz_absent"})
