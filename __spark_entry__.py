@@ -2355,6 +2355,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_users").cast("long").alias("n_users"),
         )
 
+    def events_anomaly(spark, sf_dir):
+        # trailing-6-window z-score per (type, hour): the "traffic
+        # spiked" monitoring primitive. Integer counts -> integer
+        # trailing sums -> a fixed exactly-rounded double chain, so the
+        # floored micro-unit scores are engine- and partitioning-exact.
+        from pprl_spark.operators.events import windowed_anomaly
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return windowed_anomaly(ev, window="1 hour", trailing=6, min_windows=3)
+
     def events_percentiles(spark, sf_dir):
         # exact per-type percentiles (type-7 interpolation == DuckDB
         # quantile_cont; approx_percentile is deliberately NOT used — its
@@ -2485,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_persisted": ann_ivf_persisted,
         "multimodal_meta": multimodal_meta,
         "events_windowed": events_windowed,
+        "events_anomaly": events_anomaly,
         "events_percentiles": events_percentiles,
         "events_topk": events_topk,
         "dedup_winnow": dedup_winnow,
@@ -4349,5 +4360,33 @@ SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events
 GROUP BY 1, 2
+""",
+        # anomaly twin: identical trailing ROWS frame over integer
+        # counts, identical double chain (mean, population variance,
+        # sqrt, z), var<=0 pins z_u to 0 on both engines
+        "events_anomaly": """
+WITH c AS (
+  SELECT event_type,
+         epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, window_start, n_events,
+         count(n_events) OVER w::BIGINT AS n_prev,
+         sum(n_events) OVER w::BIGINT AS s1,
+         sum(n_events * n_events) OVER w::BIGINT AS s2
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, window_start, n_events, n_prev,
+       floor(1000000.0 * (s1::DOUBLE / n_prev::DOUBLE))::BIGINT AS mean_u,
+       CASE WHEN (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n_prev::DOUBLE) / n_prev::DOUBLE > 0
+            THEN floor(1000000.0 *
+                 ((n_events::DOUBLE - s1::DOUBLE / n_prev::DOUBLE)
+                  / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n_prev::DOUBLE) / n_prev::DOUBLE)))::BIGINT
+            ELSE 0 END AS z_u
+FROM s WHERE n_prev >= 3
 """,
     }

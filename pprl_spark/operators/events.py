@@ -351,3 +351,88 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def windowed_anomaly(
+    events: DataFrame,
+    window: str = "1 hour",
+    trailing: int = 6,
+    min_windows: int = 3,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Trailing-window anomaly score per (type, window) ->
+    (event_type, window_start, n_events, n_prev, mean_u, z_u).
+
+    The monitoring primitive behind every "traffic spiked" alert: each
+    window's event count is z-scored against the TRAILING ``trailing``
+    observed windows of the same type (population variance). Windows
+    with fewer than ``min_windows`` observed predecessors are withheld
+    (cold start); gaps in time count as absent, not zero — the trailing
+    frame is the last k OBSERVED windows, documented semantics for
+    sparse types.
+
+    Exactness: the per-window counts are integers, the trailing
+    ``sum``/``sum of squares`` are integer window aggregates, and the
+    mean / variance / sqrt / z chain is a fixed tree of exactly-rounded
+    double operations on those integers — bit-identical across engines
+    and partitionings (``mean_u``/``z_u`` are floored micro-units; a
+    variance that rounds to <= 0 pins z_u to 0 on both engines).
+    Overflow: counts fit comfortably — n² sums need n under ~3e9 per
+    window per type.
+
+    Scale shape: one map-side-combined groupBy to the (type, window)
+    grain — the heavy reduction — then a per-type ordered window over
+    the (tiny) window-count table. The per-type window partitions are
+    bounded by windows-per-retention, not by events.
+    """
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
+    if min_windows < 1 or min_windows > trailing:
+        raise ValueError(
+            f"min_windows must be in [1, trailing], got {min_windows}"
+        )
+    counts = (
+        events.groupBy(
+            F.window(F.col(ts_col), window).alias("_w"), F.col(type_col)
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            type_col,
+            F.unix_timestamp(F.col("_w.start")).alias("window_start"),
+            "n_events",
+        )
+    )
+    frame = (
+        Window.partitionBy(type_col)
+        .orderBy("window_start")
+        .rowsBetween(-trailing, -1)
+    )
+    stats = counts.select(
+        type_col,
+        "window_start",
+        "n_events",
+        F.count("n_events").over(frame).cast("long").alias("n_prev"),
+        F.sum("n_events").over(frame).cast("long").alias("_s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(frame).cast("long").alias(
+            "_s2"
+        ),
+    ).where(F.col("n_prev") >= min_windows)
+    npd = F.col("n_prev").cast("double")
+    mean = F.col("_s1").cast("double") / npd
+    var = (
+        F.col("_s2").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1").cast("double") / npd
+    ) / npd
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return stats.select(
+        F.col(type_col).alias("event_type"),
+        "window_start",
+        "n_events",
+        "n_prev",
+        F.floor(F.lit(1000000.0) * mean).cast("long").alias("mean_u"),
+        F.when(var > 0, F.floor(F.lit(1000000.0) * z))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("z_u"),
+    )

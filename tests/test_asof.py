@@ -186,3 +186,58 @@ def test_cohort_retention_hand_computed(spark):
         ("2026-01-12", 0): 1,  # user 3
         ("2026-01-12", 2): 1,  # user 3
     }
+
+
+def test_windowed_anomaly_golden(spark):
+    import math
+    from datetime import datetime, timedelta
+
+    from pprl_spark.operators.events import windowed_anomaly
+
+    # one event type, hourly counts [2,2,2,2,2,2,20]: the spike window
+    # z-scores against a zero-variance trail -> var 0 -> z_u pinned 0?
+    # no — trailing counts are all 2 (var 0) so z_u = 0 by contract;
+    # add variation [1,2,3,2,1,2] then spike 20
+    base = datetime(2026, 1, 1, 0, 0, 0)
+    counts = [1, 2, 3, 2, 1, 2, 20]
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for i in range(c):
+            rows.append((eid, base + timedelta(hours=h, minutes=i % 50), 1, "click"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.window_start: r for r in windowed_anomaly(df, trailing=6, min_windows=3).collect()}
+    # windows 0,1,2 withheld (cold start: fewer than 3 predecessors)
+    assert len(got) == 4
+    spike = got[max(got)]
+    assert spike.n_events == 20 and spike.n_prev == 6
+    s1, s2, n = sum(counts[:6]), sum(c * c for c in counts[:6]), 6.0
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / n
+    z = (20.0 - mean) / math.sqrt(var)
+    assert spike.mean_u == math.floor(1e6 * mean)
+    assert spike.z_u == math.floor(1e6 * z)
+    assert spike.z_u > 20_000_000  # >20 sigma: unambiguous anomaly
+
+
+def test_windowed_anomaly_zero_variance_and_validation(spark):
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from pprl_spark.operators.events import windowed_anomaly
+
+    base = datetime(2026, 1, 1)
+    rows = [
+        (h * 10 + i, base + timedelta(hours=h, minutes=i), 1, "view")
+        for h in range(5)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = windowed_anomaly(df, trailing=6, min_windows=3).collect()
+    assert all(r.z_u == 0 for r in got)  # constant counts: var 0 -> pinned
+    with pytest.raises(ValueError):
+        windowed_anomaly(df, trailing=0)
+    with pytest.raises(ValueError):
+        windowed_anomaly(df, trailing=4, min_windows=5)
