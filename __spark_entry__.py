@@ -1041,6 +1041,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return snm_window_pairs(docs, "k2", w=4)
 
+    def dedup_recall_report(spark, sf_dir):
+        # measured LSH recall, on the record as a query: the banded
+        # MinHash pair set (4x2 banding, exact-Jaccard verified) counted
+        # against the lossless AllPairs/PPJoin ground truth over the
+        # SAME k=2 shingle sets. n_hit == n_banded is the verify-step
+        # invariant (banded pairs are true pairs); recall = the banding
+        # S-curve's measured miss rate at J >= 0.4.
+        from pprl_spark.functions.text import shingle_hashes
+        from pprl_spark.operators.setjoin import jaccard_join
+
+        banded = _minhash_dedup_pairs(spark, sf_dir).select("id1", "id2")
+        toks = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            shingle_hashes("text", k=2).alias("tokens"),
+        )
+        exact = jaccard_join(toks, threshold="0.4").select("id1", "id2")
+        e = exact.agg(F.count("*").cast("long").alias("n_exact"))
+        bd = banded.agg(F.count("*").cast("long").alias("n_banded"))
+        h = banded.join(exact, ["id1", "id2"]).agg(
+            F.count("*").cast("long").alias("n_hit")
+        )
+        return (
+            e.join(bd)
+            .join(h)
+            .select(
+                "n_exact",
+                "n_banded",
+                "n_hit",
+                (F.col("n_exact") - F.col("n_hit")).cast("long").alias("n_missed"),
+                F.when(
+                    F.col("n_exact") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+                )
+                .otherwise(F.lit(1.0))
+                .alias("recall"),
+            )
+        )
+
     def dedup_semantic(spark, sf_dir):
         # SemDeDup (cluster-bounded quadratic cosine): deterministic
         # 16-centroid quantizer, within-cluster pairwise check at the
@@ -2439,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding": dedup_embedding,
         "dedup_semantic": dedup_semantic,
+        "dedup_recall_report": dedup_recall_report,
         "dedup_snm_pairs": dedup_snm_pairs,
         "dedup_split": dedup_split,
         "dedup_canonical_pr": dedup_canonical_pr,
@@ -3815,6 +3854,32 @@ FROM asg
 """
     )
 
+    # recall-report twin: banded pairs (same scored CTE) counted against
+    # the naive lossless join over the same shingle sets
+    dedup_recall_sql = dedup_minhash_sql.replace(
+        "SELECT id1, id2, floor(j * 1000000)/1000000.0 AS jaccard FROM scored WHERE j >= 0.4",
+        """, banded AS (SELECT id1, id2 FROM scored WHERE j >= 0.4),
+tok AS (SELECT doc_id, unnest(sh) AS tk FROM sh),
+sizes AS (SELECT doc_id, len(sh)::BIGINT AS n FROM sh WHERE len(sh) > 0),
+qp AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS inter
+  FROM tok a JOIN tok b USING (tk) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id1, id2
+  FROM qp JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+  WHERE inter * 5 >= (s1.n + s2.n - inter) * 2
+),
+e AS (SELECT count(*)::BIGINT AS n_exact FROM exact),
+bd AS (SELECT count(*)::BIGINT AS n_banded FROM banded),
+h AS (SELECT count(*)::BIGINT AS n_hit FROM banded JOIN exact USING (id1, id2))
+SELECT n_exact, n_banded, n_hit, (n_exact - n_hit)::BIGINT AS n_missed,
+       CASE WHEN n_exact > 0 THEN n_hit::DOUBLE / n_exact::DOUBLE ELSE 1.0 END AS recall
+FROM e, bd, h""",
+        1,
+    )
+
     # pagerank twin: the fixed-point power iteration UNROLLED as chained
     # CTEs generated by the same loop constants as the operator
     # (iterations=5, damping 85/100, scale 10^12) — pure integer
@@ -3907,6 +3972,7 @@ FROM ranked WHERE r = 1
         "text_tfidf": text_tfidf_sql,
         "dedup_embedding": dedup_embedding_sql,
         "dedup_semantic": dedup_semantic_sql,
+        "dedup_recall_report": dedup_recall_sql,
         "dedup_snm_pairs": dedup_snm_sql,
         "dedup_split": dedup_split_sql,
         "dedup_canonical_pr": dedup_canonical_pr_sql,

@@ -96,6 +96,8 @@ def main() -> None:
         "dedup_setjoin": lambda s: q["dedup_setjoin"](s, SF_DIR).count(),
         # write-once/probe-many dedup: delta batch vs standing MinHash index
         "dedup_delta": lambda s: q["dedup_delta"](s, SF_DIR).count(),
+        # measured banding recall vs the exact setjoin ground truth
+        "dedup_recall": lambda s: q["dedup_recall_report"](s, SF_DIR).count(),
         # exact asymmetric containment join (quote/boilerplate shape)
         "dedup_containment": lambda s: q["dedup_containment"](s, SF_DIR).count(),
         "text_stats": lambda s: q["text_stats"](s, SF_DIR).count(),
