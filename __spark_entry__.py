@@ -1711,6 +1711,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
 
+    def sample_quality_weighted(spark, sf_dir):
+        # CCNet-style SOFT quality filtering: each doc survives with
+        # probability = its own quality score (not a hard cutoff), via
+        # the content-addressed hash (salt 13) — deterministic,
+        # auditable, SQL-mirrorable where rand() Bernoulli is neither.
+        from pprl_spark.operators.sampling import weighted_sample
+
+        scored = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            TXT.quality_score("text").alias("_q"),
+        )
+        out = weighted_sample(scored, "_q", salt=13)
+        return out.select("doc_id", _floor6(F.col("_q")).alias("quality"))
+
     def dedup_exact(spark, sf_dir):
         # 128-bit fingerprint (two independent xxhash64s of the normalized
         # text) as the grouping key: the shuffle carries 16 bytes per doc,
@@ -2504,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_media_audit": spans_media_audit,
         "dedup_canonical": dedup_canonical,
         "sample_stratified": sample_stratified,
+        "sample_quality_weighted": sample_quality_weighted,
         "sample_token_budget": sample_token_budget,
         "text_quality_trim": text_quality_trim,
         "text_quality_filters": text_quality_filters,
@@ -4320,6 +4335,28 @@ FROM a1, a2, a3""",
             )
         ),
         "sample_stratified": sample_stratified_sql,
+        # weighted-sample twin: identical quality expression (the
+        # text_quality_trim chain) + identical sha256 keep rule
+        "sample_quality_weighted": r"""
+WITH base AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), w -> w <> '') AS w
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         0.4 * least(1.0, len(w) / 50.0)
+         + (CASE WHEN len(w) > 0 THEN 0.3 * (len(list_distinct(w))::DOUBLE / len(w)) ELSE 0.0 END)
+         + (CASE WHEN len(w) > 0 THEN 0.3 * least(1.0,
+              (list_reduce([0::BIGINT] || [len(x) FOR x IN w], (a, x) -> a + x)::DOUBLE / len(w)) / 8.0)
+            ELSE 0.0 END) AS quality
+  FROM base
+)
+SELECT doc_id, floor(quality * 1000000)/1000000.0 AS quality
+FROM q
+WHERE ('0x' || substring(sha256('13:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+      < floor(least(1.0, greatest(0.0, quality)) * 1000000.0)::BIGINT
+""",
         "text_quality_trim": "\nWITH base AS (\n  SELECT doc_id::BIGINT AS doc_id,\n         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> w <> '') AS w\n  FROM documents\n),\nq AS (\n  SELECT doc_id,\n         0.4 * least(1.0, len(w) / 50.0)\n         + (CASE WHEN len(w) > 0 THEN 0.3 * (len(list_distinct(w))::DOUBLE / len(w)) ELSE 0.0 END)\n         + (CASE WHEN len(w) > 0 THEN 0.3 * least(1.0,\n              (list_reduce([0::BIGINT] || [len(x) FOR x IN w], (a, x) -> a + x)::DOUBLE / len(w)) / 8.0)\n            ELSE 0.0 END) AS quality\n  FROM base\n),\nt AS (SELECT quantile_cont(quality, 0.1) AS thr FROM q)\nSELECT doc_id, floor(quality * 1000000)/1000000.0 AS quality\nFROM q, t WHERE quality >= thr\n",
         "sample_token_budget": r"""
 WITH nt AS (

@@ -129,6 +129,7 @@ def main() -> None:
         # shuffle-free content-addressed sampler (r5)
         "dedup_canonical": lambda s: q["dedup_canonical"](s, SF_DIR).count(),
         "sample_stratified": lambda s: q["sample_stratified"](s, SF_DIR).count(),
+        "sample_quality_weighted": lambda s: q["sample_quality_weighted"](s, SF_DIR).count(),
         # incremental cluster maintenance + cluster-size histogram (r5);
         # both reuse the memoized minhash pair table (like dedup_clusters)
         "delta_clusters": lambda s: q["delta_clusters"](s, SF_DIR).count(),

@@ -238,3 +238,29 @@ def entity_consistent_split(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    prob_col: str | Column,
+    salt: int = 0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row with ITS OWN probability, deterministically.
+
+    The soft-filtering step of CCNet-style curation: instead of a hard
+    quality cutoff, each document survives with probability equal to a
+    per-row score in [0, 1] (quality, language weight, freshness decay —
+    any computed column). Membership is ``hash(key, salt) % 1e6 <
+    floor(p * 1e6)`` — a pure function of (key, salt, p): reproducible
+    across partitionings/resumes, auditable after the fact, and exactly
+    mirrorable in SQL (unlike ``rand()``-based Bernoulli sampling, which
+    is per-partition-seeded and unverifiable). One codegen'd projection
+    + filter: no shuffle, no action. Probabilities are clamped to
+    [0, 1]; resolution is 1 ppm.
+    """
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    rate = F.floor(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), p)) * F.lit(float(PPM))
+    ).cast("long")
+    return df.where(F.pmod(sample_hash(F.col(key_col), salt), F.lit(PPM)) < rate)

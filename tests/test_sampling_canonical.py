@@ -310,3 +310,29 @@ def test_entity_consistent_split_validation(spark):
         entity_consistent_split(df, [])
     with pytest.raises(ValueError):
         entity_consistent_split(df, [("train", 0.5), ("test", 0.2)])
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from pprl_spark.operators.sampling import weighted_sample
+
+    # p=0 never kept, p=1 always kept, p=0.5 keeps roughly half;
+    # out-of-range probabilities clamp
+    rows = (
+        [(i, 0.0) for i in range(100)]
+        + [(1000 + i, 1.0) for i in range(100)]
+        + [(2000 + i, 0.5) for i in range(400)]
+        + [(3000, -0.2), (3001, 1.7)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, p double")
+    kept = {r.doc_id for r in weighted_sample(df, "p", salt=3).collect()}
+    assert not any(d < 100 for d in kept)
+    assert all((1000 + i) in kept for i in range(100))
+    half = sum(1 for d in kept if 2000 <= d < 2400)
+    assert 150 <= half <= 250  # ~200 expected
+    assert 3000 not in kept and 3001 in kept  # clamped
+    # pure function of (key, salt, p): partitioning-independent
+    again = {r.doc_id for r in weighted_sample(df.repartition(9), "p", salt=3).collect()}
+    assert again == kept
+    # a different salt reshuffles the p=0.5 stratum
+    other = {r.doc_id for r in weighted_sample(df, "p", salt=4).collect()}
+    assert other != kept
