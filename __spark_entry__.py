@@ -1912,6 +1912,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return blocking_stats(_blocked(spark, sf_dir), k=20)
 
+    def pprl_kanon(spark, sf_dir):
+        # the privacy half of blocking diagnostics: per k in (2,5,10),
+        # how many LSH blocks are below k and how many docs' SMALLEST
+        # block exposes them to a sub-k candidate set — the leak PPRL
+        # exists to prevent; parties coarsen keys or suppress sub-k
+        # blocks before exchanging. One pass per frame, per-k sums
+        # stacked by an inline explode.
+        from pprl_spark.operators.blocking import k_anonymity_report
+
+        return k_anonymity_report(_blocked(spark, sf_dir))
+
     def events_pivot(spark, sf_dir):
         # wide per-user activity matrix: groupBy().pivot() with an
         # EXPLICIT value list — no distinct-discovery pre-job, and the
@@ -2540,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": events_range_join,
         "events_pivot": events_pivot,
         "pprl_block_stats": pprl_block_stats,
+        "pprl_kanon": pprl_kanon,
         "corpus_rollup": corpus_rollup,
         "spans_roundtrip": spans_roundtrip,
         "text_stats": text_stats,
@@ -2579,6 +2591,39 @@ def oracle_sql() -> dict[str, str]:
     )
 
     blocks_sql = SQL_BLOCKS + " SELECT doc_id, block_key FROM blocks"
+
+    # k-anonymity twin: same blocks CTE, per-k conditional sums over the
+    # size dim and the per-doc min-block-size table
+    kanon_sql = (
+        SQL_BLOCKS
+        + """
+, sizes AS (SELECT block_key, count(*)::BIGINT AS n FROM blocks GROUP BY 1),
+dm AS (
+  SELECT b.doc_id, min(s.n)::BIGINT AS minn
+  FROM blocks b JOIN sizes s USING (block_key)
+  GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS n_blocks_total FROM sizes),
+dt AS (SELECT count(*)::BIGINT AS n_docs_total FROM dm),
+ks AS (SELECT unnest([2, 5, 10]) AS k),
+sb AS (
+  SELECT ks.k,
+         sum(CASE WHEN s.n < ks.k THEN 1 ELSE 0 END)::BIGINT AS n_blocks_below,
+         sum(CASE WHEN s.n < ks.k THEN s.n ELSE 0 END)::BIGINT AS n_entries_below
+  FROM sizes s, ks GROUP BY 1
+),
+xb AS (
+  SELECT ks.k,
+         sum(CASE WHEN dm.minn < ks.k THEN 1 ELSE 0 END)::BIGINT AS n_docs_exposed
+  FROM dm, ks GROUP BY 1
+)
+SELECT sb.k::BIGINT AS k, n_blocks_below, n_entries_below, n_docs_exposed,
+       n_blocks_total, n_docs_total,
+       CASE WHEN n_docs_total > 0
+            THEN n_docs_exposed::DOUBLE / n_docs_total::DOUBLE ELSE 0.0 END AS exposed_frac
+FROM sb JOIN xb USING (k), tot, dt
+"""
+    )
 
     pairs_sql = SQL_PAIRS + " SELECT id1, id2, sim FROM pairs"
 
@@ -3979,6 +4024,7 @@ FROM ranked WHERE r = 1
         "events_range_join": events_range_join_sql,
         "events_pivot": events_pivot_sql,
         "pprl_block_stats": block_stats_sql,
+        "pprl_kanon": kanon_sql,
         "corpus_rollup": corpus_rollup_sql,
         "text_decontaminate": text_decontaminate_sql,
         "text_dup_spans": text_dup_spans_sql,

@@ -204,6 +204,8 @@ def main() -> None:
         "events_range_join": lambda s: q["events_range_join"](s, SF_DIR).count(),
         # blocking skew diagnostics (heap top-k + 1-row global summary)
         "block_stats": lambda s: q["pprl_block_stats"](s, SF_DIR).count(),
+        # k-anonymity privacy audit over the same blocked table
+        "pprl_kanon": lambda s: q["pprl_kanon"](s, SF_DIR).count(),
         # threshold calibration sweep, clerical-review sample, blocking
         # RR/PC/PQ metrics (all ride the scored-pair memo)
         "threshold_sweep": lambda s: q["pprl_threshold_sweep"](s, SF_DIR).count(),

@@ -293,3 +293,91 @@ def snm_window_pairs(
     return a.join(b, "_s").select(
         F.least("ida", "idb").alias("id1"), F.greatest("ida", "idb").alias("id2")
     )
+
+
+def k_anonymity_report(
+    blocks: DataFrame,
+    ks: tuple[int, ...] = (2, 5, 10),
+    id_col: str = "doc_id",
+    key_col: str = "block_key",
+) -> DataFrame:
+    """Blocking-key k-anonymity audit -> one row per k:
+    (k, n_blocks_below, n_entries_below, n_docs_exposed, n_blocks_total,
+    n_docs_total, exposed_frac).
+
+    The privacy half of blocking diagnostics (``blocking_stats`` is the
+    skew half): in a privacy-preserving linkage, a blocking key whose
+    block holds fewer than k records lets the other party bound a
+    record's identity to that tiny candidate set — the exact leak PPRL
+    exists to prevent. ``n_docs_exposed`` counts documents whose
+    SMALLEST block is below k (one small block anywhere is enough to
+    expose the doc); parties use the report to pick coarser keys or
+    suppress sub-k blocks before exchanging anything.
+
+    Scale shape: one map-side-combined size aggregation, one join-back
+    of the slim (key, size) dim, one per-doc min — then every k is a
+    conditional sum over the same two small frames (ONE pass each,
+    stacked by an inline explode; no per-k re-aggregation).
+    """
+    if not ks or any(k < 2 for k in ks):
+        raise ValueError(f"ks must be >= 2, got {ks}")
+    ks = tuple(sorted(set(ks)))
+    sizes = blocks.groupBy(key_col).agg(F.count("*").cast("long").alias("_n"))
+    docmin = (
+        blocks.select(id_col, key_col)
+        .join(sizes, key_col)
+        .groupBy(id_col)
+        .agg(F.min("_n").alias("_minn"))
+    )
+    sb = sizes.agg(
+        F.count("*").cast("long").alias("n_blocks_total"),
+        *[
+            F.sum((F.col("_n") < k).cast("long")).cast("long").alias(f"_b{k}")
+            for k in ks
+        ],
+        *[
+            F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+            .cast("long")
+            .alias(f"_e{k}")
+            for k in ks
+        ],
+    )
+    xb = docmin.agg(
+        F.count("*").cast("long").alias("n_docs_total"),
+        *[
+            F.sum((F.col("_minn") < k).cast("long")).cast("long").alias(f"_x{k}")
+            for k in ks
+        ],
+    )
+    stacked = sb.join(xb).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"),
+                        F.col(f"_b{k}").alias("n_blocks_below"),
+                        F.col(f"_e{k}").alias("n_entries_below"),
+                        F.col(f"_x{k}").alias("n_docs_exposed"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("_r"),
+        "n_blocks_total",
+        "n_docs_total",
+    )
+    return stacked.select(
+        F.col("_r.k").alias("k"),
+        F.col("_r.n_blocks_below").alias("n_blocks_below"),
+        F.col("_r.n_entries_below").alias("n_entries_below"),
+        F.col("_r.n_docs_exposed").alias("n_docs_exposed"),
+        "n_blocks_total",
+        "n_docs_total",
+        F.when(
+            F.col("n_docs_total") > 0,
+            F.col("_r.n_docs_exposed").cast("double")
+            / F.col("n_docs_total").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("exposed_frac"),
+    )

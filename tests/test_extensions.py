@@ -796,3 +796,25 @@ def test_snm_window_pairs_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, k string")
     with pytest.raises(ValueError):
         snm_window_pairs(df, "k", w=1)
+
+
+def test_k_anonymity_report_golden(spark):
+    from pprl_spark.operators.blocking import k_anonymity_report
+
+    # blocks: A{1,2,3,4,5} (size 5), B{1,2} (size 2), C{9} (size 1)
+    rows = [(i, "A") for i in range(1, 6)] + [(1, "B"), (2, "B"), (9, "C")]
+    df = spark.createDataFrame(rows, "doc_id long, block_key string")
+    got = {r.k: r for r in k_anonymity_report(df, ks=(2, 5, 10)).collect()}
+    assert set(got) == {2, 5, 10}
+    # k=2: only C(1) is below -> doc 9 exposed
+    assert (got[2].n_blocks_below, got[2].n_entries_below, got[2].n_docs_exposed) == (1, 1, 1)
+    # k=5: B(2) and C(1) below -> docs 1,2 (min block 2) and 9 exposed
+    assert (got[5].n_blocks_below, got[5].n_entries_below, got[5].n_docs_exposed) == (2, 3, 3)
+    # k=10: every block below -> all 6 docs exposed
+    assert (got[10].n_blocks_below, got[10].n_docs_exposed) == (3, 6)
+    assert got[10].n_blocks_total == 3 and got[10].n_docs_total == 6
+    assert got[5].exposed_frac == 3.0 / 6.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ks=(1,))
