@@ -484,3 +484,86 @@ def stream_near_duplicates(
     )
     out = near.groupBy(*keys).agg(F.max("jaccard").alias("jaccard"))
     return out.select("doc_id", "corpus_id", "jaccard")
+
+
+def anomaly_stream(
+    spark: SparkSession,
+    input_dir: str,
+    trailing: int = 6,
+    min_windows: int = 3,
+    schema: str = "event_type string, window_start long, n_events long",
+) -> DataFrame:
+    """Streaming trailing-window anomaly scorer over a per-window count
+    stream -> (event_type, window_start, n_events, n_prev, mean_u, z_u).
+
+    Consumes the (type, window_start, n_events) rows a windowed rollup
+    emits and z-scores each window against the trailing ``trailing``
+    windows of its type — the live form of
+    ``operators.events.windowed_anomaly``. State per event type is the
+    bounded ring of the last ``trailing`` counts (fixed slots — no
+    growth with stream length); windows fold in window_start order
+    within a micro-batch, and under window-ordered replay the output
+    equals the batch twin EXACTLY (the same arrival-order contract as
+    ``asof_stream``/``stream_exact_dedup``) — the float chain mirrors
+    the batch expression tree operation for operation (including
+    rounding the s1*s1 product before the divide), so the micro-unit
+    scores match to the bit.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
+    if min_windows < 1 or min_windows > trailing:
+        raise ValueError(f"min_windows must be in [1, trailing], got {min_windows}")
+
+    out_cols = ["event_type", "window_start", "n_events", "n_prev", "mean_u", "z_u"]
+    state_schema = ", ".join(f"c{i} long" for i in range(trailing)) + ", nf long"
+
+    def fn(key, pdfs, state):
+        etype = str(key[0])
+        rows = pd.concat(list(pdfs)).sort_values("window_start")
+        if state.exists:
+            vals = list(state.get)
+            nf = int(vals[-1])
+            hist = [int(v) for v in vals[:nf]]
+        else:
+            hist = []
+        out = []
+        for r in rows.itertuples(index=False):
+            n, ws = int(r.n_events), int(r.window_start)
+            n_prev = len(hist)
+            if n_prev >= min_windows:
+                s1 = sum(hist)
+                s2 = sum(c * c for c in hist)
+                npd = float(n_prev)
+                mean = s1 / npd
+                # float(s1)*float(s1) BEFORE the divide: the batch tree
+                # rounds the product, so the twin must too
+                var = (s2 - float(s1) * float(s1) / npd) / npd
+                mean_u = math.floor(1000000.0 * mean)
+                z_u = (
+                    math.floor(1000000.0 * ((n - mean) / math.sqrt(var)))
+                    if var > 0
+                    else 0
+                )
+                out.append((etype, ws, n, n_prev, mean_u, z_u))
+            hist.append(n)
+            if len(hist) > trailing:
+                hist = hist[-trailing:]
+        state.update(tuple(hist + [0] * (trailing - len(hist))) + (len(hist),))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return stream.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "event_type string, window_start long, n_events long, "
+            "n_prev long, mean_u long, z_u long"
+        ),
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

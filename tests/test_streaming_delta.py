@@ -371,3 +371,78 @@ def test_stream_near_duplicates_matches_batch_probe(spark, tmp_path):
     }
     assert got == want
     assert got  # non-vacuous
+
+
+def test_anomaly_stream_matches_batch_under_ordered_replay(spark, tmp_path):
+    """The streaming trailing-window z-scorer equals the batch operator
+    exactly (bit-level micro-units) when count rows replay in window
+    order — including across micro-batch boundaries, where the ring
+    state carries the trailing counts over."""
+    import math
+    import random
+    from datetime import datetime, timedelta
+
+    from pprl_spark.operators.events import windowed_anomaly
+    from pprl_spark.streaming.incremental import anomaly_stream
+
+    rng = random.Random(17)
+    base = datetime(2026, 1, 1)
+    ev_rows = []
+    eid = 0
+    counts = {}
+    for h in range(14):
+        for etype in ("click", "view"):
+            c = rng.randrange(1, 9) if (h, etype) != (12, "click") else 40
+            counts[(etype, h)] = c
+            for i in range(c):
+                ev_rows.append(
+                    (eid, base + timedelta(hours=h, minutes=i % 50), 1, etype)
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        ev_rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    batch = {
+        (r.event_type, r.window_start): (r.n_events, r.n_prev, r.mean_u, r.z_u)
+        for r in windowed_anomaly(ev, trailing=6, min_windows=3).collect()
+    }
+
+    # replay the count rows in window order, split over TWO micro-batches
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    epoch = int(base.timestamp())
+    crows = sorted(
+        (t, epoch + 3600 * h, c) for (t, h), c in counts.items()
+    )
+    half = [r for r in crows if r[1] < epoch + 3600 * 7]
+    rest = [r for r in crows if r[1] >= epoch + 3600 * 7]
+    schema = "event_type string, window_start long, n_events long"
+    spark.createDataFrame(half, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        q = (
+            anomaly_stream(spark, in_dir, trailing=6, min_windows=3)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(rest, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    streamed = {
+        (r.event_type, r.window_start): (r.n_events, r.n_prev, r.mean_u, r.z_u)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == batch
+    # the engineered spike is present and unambiguous
+    spike = batch[("click", epoch + 3600 * 12)]
+    assert spike[0] == 40 and spike[3] > 2_000_000
