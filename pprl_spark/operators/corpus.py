@@ -631,6 +631,7 @@ def duplicated_spans(
     text_col: str = "text",
     n: int = 5,
     min_count: int = 2,
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """Exact substring-duplication spans (granular dedup) ->
     (doc_id, n_tokens, n_dup_tokens, n_spans, dup_fraction).
@@ -670,14 +671,24 @@ def duplicated_spans(
         raise ValueError(f"n must be positive, got {n}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from pprl_spark.operators.dedup import _materialize
+
     w = words_col(text_col)
-    base = docs.select(
-        "doc_id",
-        F.size(w).alias("n_tokens"),
-        F.transform(word_shingles(text_col, n), lambda s: rolling_hash_col(s)).alias(
-            "_hs"
-        ),
-    ).where(F.col("n_tokens") > 0)
+    # the per-gram rolling-hash fold is the expensive kernel and this
+    # frame feeds three consumers (the frequency agg, the position
+    # semi-join, and the doc dim) — materialize once or the fold runs
+    # three times (measured ~2x the whole operator at sf0.1); same
+    # checkpoint|persist|none hatch as the dedup operators
+    base = _materialize(
+        docs.select(
+            "doc_id",
+            F.size(w).alias("n_tokens"),
+            F.transform(
+                word_shingles(text_col, n), lambda s: rolling_hash_col(s)
+            ).alias("_hs"),
+        ).where(F.col("n_tokens") > 0),
+        materialize,
+    )
 
     occ = base.select(
         "doc_id", "n_tokens", F.posexplode("_hs").alias("pos", "gram")
