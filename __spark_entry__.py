@@ -1923,6 +1923,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return k_anonymity_report(_blocked(spark, sf_dir))
 
+    def events_transitions(spark, sf_dir):
+        # first-order Markov transition matrix between consecutive
+        # event types per user (funnel design / bot-detection input):
+        # one lag window on the sessionization shuffle, counts on the
+        # |types|^2 key space, row-normalized by one exact division
+        from pprl_spark.operators.events import type_transitions
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return type_transitions(ev).select(
+            "prev_type", "event_type", "n", "p"
+        )
+
     def events_pivot(spark, sf_dir):
         # wide per-user activity matrix: groupBy().pivot() with an
         # EXPLICIT value list — no distinct-discovery pre-job, and the
@@ -2562,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta,
         "events_windowed": events_windowed,
         "events_anomaly": events_anomaly,
+        "events_transitions": events_transitions,
         "events_percentiles": events_percentiles,
         "events_topk": events_topk,
         "dedup_winnow": dedup_winnow,
@@ -4509,6 +4522,23 @@ SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events
 GROUP BY 1, 2
+""",
+        # transition twin: identical lag order (ts, event_id) + exact
+        # row-normalizing division
+        "events_transitions": """
+WITH pr AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type, count(*)::BIGINT AS n
+  FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       n::DOUBLE / (sum(n) OVER (PARTITION BY prev_type))::DOUBLE AS p
+FROM c
 """,
         # anomaly twin: identical trailing ROWS frame over integer
         # counts, identical double chain (mean, population variance,

@@ -110,6 +110,8 @@ def main() -> None:
         "events_windowed": lambda s: q["events_windowed"](s, SF_DIR).count(),
         # trailing-window z-score anomaly report
         "events_anomaly": lambda s: q["events_anomaly"](s, SF_DIR).count(),
+        # first-order Markov transition matrix
+        "events_transitions": lambda s: q["events_transitions"](s, SF_DIR).count(),
         "events_sessionize": lambda s: q["events_sessionize"](s, SF_DIR).count(),
         "jw_pairs": lambda s: q["pprl_jw_pairs"](s, SF_DIR).count(),
         # built-in JVM levenshtein rescoring (codegen'd, no Python)

@@ -436,3 +436,51 @@ def windowed_anomaly(
         .cast("long")
         .alias("z_u"),
     )
+
+
+def type_transitions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user event-type transition matrix -> (prev_type, event_type,
+    n, p), the first-order Markov behavior model.
+
+    Which action follows which: the input to funnel design, bot
+    detection (self-loops at machine rates) and session modeling.
+    Consecutive events per user are paired with ONE lag window ordered
+    by (ts, id) — the deterministic total order shared with
+    sessionization, so equal timestamps break consistently — then
+    counted on the tiny (prev, next) key space. ``p`` is the row-
+    normalized probability: one exact integer division per cell
+    (n / Σ_row n), bit-stable across engines.
+
+    Scale shape: one hash exchange on user_id + per-user sort (the same
+    shuffle sessionization pays), then a map-side-combined count to
+    |types|² rows; the row marginal is a window over that tiny frame.
+    """
+    byuser = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            user_col,
+            ts_col,
+            id_col,
+            F.col(type_col),
+            F.lag(type_col).over(byuser).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", type_col)
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    row_total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        type_col,
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(row_total).cast("double")
+        ).alias("p"),
+    )

@@ -241,3 +241,31 @@ def test_windowed_anomaly_zero_variance_and_validation(spark):
         windowed_anomaly(df, trailing=0)
     with pytest.raises(ValueError):
         windowed_anomaly(df, trailing=4, min_windows=5)
+
+
+def test_type_transitions_golden(spark):
+    from datetime import datetime, timedelta
+
+    from pprl_spark.operators.events import type_transitions
+
+    base = datetime(2026, 1, 1)
+    # user 1: A -> B -> A -> A; user 2: B -> A (transitions:
+    # A->B 1, B->A 2, A->A 1); same-ts tie for user 3 breaks on
+    # event_id: C(10) then D(11) -> C->D
+    rows = [
+        (1, base, 1, "A"), (2, base + timedelta(minutes=1), 1, "B"),
+        (3, base + timedelta(minutes=2), 1, "A"),
+        (4, base + timedelta(minutes=3), 1, "A"),
+        (5, base, 2, "B"), (6, base + timedelta(minutes=1), 2, "A"),
+        (10, base, 3, "C"), (11, base, 3, "D"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r.prev_type, r.event_type): r for r in type_transitions(df).collect()}
+    assert got[("A", "B")].n == 1 and got[("B", "A")].n == 2
+    assert got[("A", "A")].n == 1
+    assert got[("C", "D")].n == 1 and ("D", "C") not in got
+    # row-normalized: from A -> {B: 1/2, A: 1/2}
+    assert got[("A", "B")].p == 0.5 and got[("A", "A")].p == 0.5
+    assert got[("B", "A")].p == 1.0
