@@ -1848,6 +1848,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("long").alias("rank"),
         )
 
+    def corpus_divergence(spark, sf_dir):
+        # per-source unigram KL from the corpus blend: the distribution-
+        # drift number behind spam/boilerplate triage and per-source
+        # mixing weights. Micro-nat terms floored BEFORE the per-source
+        # sum, so the aggregation is integer (order/partitioning-free).
+        from pprl_spark.operators.corpus import source_divergence
+
+        return source_divergence(_docs(spark, sf_dir), "source")
+
     def text_surprisal(spark, sf_dir):
         # CCNet-style LM-proxy quality scoring: corpus unigram surprisal
         # table in integer micro-nats (truncation at the small vocab
@@ -2565,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_block_stats": pprl_block_stats,
         "pprl_kanon": pprl_kanon,
         "corpus_rollup": corpus_rollup,
+        "corpus_divergence": corpus_divergence,
         "spans_roundtrip": spans_roundtrip,
         "text_stats": text_stats,
         "ann_topk": ann_topk,
@@ -4024,8 +4034,33 @@ FROM ranked WHERE r = 1
 """
     )
 
+    # divergence twin: identical (1e6 * p) * ln(p/q) tree, floored
+    # micro-nat terms summed as integers
+    corpus_divergence_sql = r"""
+WITH wx AS (
+  SELECT source AS g,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+per AS (SELECT g, w, count(*)::BIGINT AS n_gw FROM wx GROUP BY 1, 2),
+tg AS (SELECT g, sum(n_gw)::BIGINT AS n_g FROM per GROUP BY 1),
+cw AS (SELECT w, sum(n_gw)::BIGINT AS n_w FROM per GROUP BY 1),
+na AS (SELECT sum(n_gw)::BIGINT AS n_all FROM per),
+t AS (
+  SELECT per.g, tg.n_g,
+         floor(1000000.0 * (per.n_gw::DOUBLE / tg.n_g::DOUBLE)
+               * ln((per.n_gw::DOUBLE / tg.n_g::DOUBLE)
+                    / (cw.n_w::DOUBLE / na.n_all::DOUBLE)))::BIGINT AS tu
+  FROM per JOIN cw USING (w) JOIN tg USING (g), na
+)
+SELECT g AS source, n_g AS n_tokens, count(*)::BIGINT AS vocab_size,
+       sum(tu)::BIGINT AS kl_u, sum(tu)::DOUBLE / 1000000.0 AS kl
+FROM t GROUP BY 1, 2
+"""
+
     return {
         "vocab_topk": vocab_topk_sql,
+        "corpus_divergence": corpus_divergence_sql,
         "text_surprisal": text_surprisal_sql,
         "pprl_fs_scored": fs_scored_sql,
         "pprl_fs_match": fs_match_sql,

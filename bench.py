@@ -202,6 +202,8 @@ def main() -> None:
         "events_pivot": lambda s: q["events_pivot"](s, SF_DIR).count(),
         # grouping-set composition report (one Expand + one exchange)
         "corpus_rollup": lambda s: q["corpus_rollup"](s, SF_DIR).count(),
+        # per-source unigram KL drift report (integer micro-nat sums)
+        "corpus_divergence": lambda s: q["corpus_divergence"](s, SF_DIR).count(),
         # bin-bucketed interval join (fan-out bounded by bin occupancy)
         "events_range_join": lambda s: q["events_range_join"](s, SF_DIR).count(),
         # blocking skew diagnostics (heap top-k + 1-row global summary)

@@ -746,3 +746,56 @@ def duplicated_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+def source_divergence(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group unigram KL divergence from the corpus distribution ->
+    (source, n_tokens, vocab_size, kl_u, kl).
+
+    The distribution-drift report: KL(P_group || P_corpus) over word
+    unigrams says which feed's language deviates most from the blend —
+    the number behind "this source is boilerplate/spam/another domain"
+    triage and per-source mixing-weight decisions.
+
+    Exactness: every per-(group, word) term
+    ``floor(1e6 * (n_gw/N_g) * ln((n_gw/N_g) / (n_w/N)))`` is floored to
+    integer micro-nats BEFORE the per-group sum, so the sum is an
+    integer aggregation — order- and partitioning-independent, where a
+    double KL sum is neither (the same truncate-then-sum pattern as the
+    surprisal operators; negative terms floor toward -inf on both
+    engines). ``kl`` is the single exactly-rounded division kl_u/1e6.
+
+    Scale shape: one map-side-combined (group, word) count, a join to
+    the word-marginal table on the 8-byte-ish word key, broadcast
+    1-row/`|groups|`-row totals, and a final integer sum per group —
+    nothing corpus-sized shuffles twice.
+    """
+    per = (
+        docs.select(F.col(group_col).alias("g"), F.explode(words_col(text_col)).alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count("*").cast("long").alias("n_gw"))
+    )
+    tot_g = per.groupBy("g").agg(F.sum("n_gw").cast("long").alias("n_g"))
+    corpus_w = per.groupBy("w").agg(F.sum("n_gw").cast("long").alias("n_w"))
+    n_total = per.agg(F.sum("n_gw").cast("long").alias("n_all"))
+    pg = F.col("n_gw").cast("double") / F.col("n_g").cast("double")
+    pq = F.col("n_w").cast("double") / F.col("n_all").cast("double")
+    term_u = F.floor(F.lit(1000000.0) * pg * F.log(pg / pq)).cast("long")
+    j = (
+        per.join(corpus_w, "w")
+        .join(F.broadcast(tot_g), "g")
+        .join(F.broadcast(n_total))
+        .select("g", "n_g", term_u.alias("_t"))
+    )
+    return j.groupBy("g", "n_g").agg(
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum("_t").cast("long").alias("kl_u"),
+    ).select(
+        F.col("g").alias(group_col),
+        F.col("n_g").alias("n_tokens"),
+        "vocab_size",
+        "kl_u",
+        (F.col("kl_u").cast("double") / F.lit(1000000.0)).alias("kl"),
+    )

@@ -643,3 +643,45 @@ def test_duplicated_spans_partitioning_independent(spark):
         for r in duplicated_spans(df.repartition(13), n=4).collect()
     )
     assert one == many
+
+
+def test_source_divergence_golden(spark):
+    import math
+
+    from pprl_spark.operators.corpus import source_divergence
+
+    # source A: 3x "a", 1x "b"; source B: 1x "a", 3x "b"
+    # corpus: a=4/8, b=4/8; P_A = (0.75, 0.25)
+    rows = [(1, "a a a b", "A"), (2, "a b b b", "B")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in source_divergence(df).collect()}
+    assert got["A"].n_tokens == 4 and got["A"].vocab_size == 2
+
+    def term(p, q):
+        return math.floor(1e6 * p * math.log(p / q))
+
+    exp = term(0.75, 0.5) + term(0.25, 0.5)
+    assert got["A"].kl_u == exp
+    assert got["B"].kl_u == exp  # symmetric construction
+    assert got["A"].kl == exp / 1e6
+    # identical-to-corpus source: single-source corpus has KL ~ 0
+    one = source_divergence(
+        spark.createDataFrame([(1, "x y x", "S")], "doc_id long, text string, source string")
+    ).collect()[0]
+    assert one.kl_u == 0
+
+
+def test_source_divergence_partitioning_independent(spark):
+    import random
+
+    from pprl_spark.operators.corpus import source_divergence
+
+    rng = random.Random(29)
+    rows = [
+        (i, " ".join(rng.choice("abcdef") for _ in range(30)), f"s{i % 4}")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    one = sorted(tuple(r) for r in source_divergence(df.repartition(1)).collect())
+    many = sorted(tuple(r) for r in source_divergence(df.repartition(11)).collect())
+    assert one == many
