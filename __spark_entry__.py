@@ -204,6 +204,10 @@ def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scored_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _score_block_pairs(_blocked(spark, sf_dir))
+
+
+def _score_block_pairs(blocks: DataFrame) -> DataFrame:
     # hashed join key + Bloom bitmaps: identical sim values (bit_count of
     # AND == size(array_intersect) on distinct indices — oracle-exact),
     # ~2.7x smaller join rows and a word-AND intersect kernel. The bitmap
@@ -212,7 +216,6 @@ def _scored_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per consumer (the intermittent 5x pair-join stall)
     from pprl_spark.operators.candidates import bitmap_intersect_count
 
-    blocks = _blocked(spark, sf_dir)
     sides = blocks.select(
         "doc_id",
         F.xxhash64("block_key").alias("bk"),
@@ -1921,6 +1924,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return blocking_stats(_blocked(spark, sf_dir), k=20)
 
+    def pprl_suppressed_pairs(spark, sf_dir):
+        # k-anonymity ENFORCEMENT (the kanon report's actionable
+        # sibling): drop every sub-5 block BEFORE the pair join — no
+        # party ever sees a candidate set smaller than k — then score
+        # the surviving pairs through the identical bitmap kernel. The
+        # privacy cost is visible as the pair-set difference vs
+        # pprl_score_pairs.
+        blocks = _blocked(spark, sf_dir)
+        sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_n"))
+        kept = blocks.join(
+            sizes.where(F.col("_n") >= 5).select("block_key"), "block_key"
+        )
+        return _score_block_pairs(kept)
+
     def pprl_kanon(spark, sf_dir):
         # the privacy half of blocking diagnostics: per k in (2,5,10),
         # how many LSH blocks are below k and how many docs' SMALLEST
@@ -2573,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": events_pivot,
         "pprl_block_stats": pprl_block_stats,
         "pprl_kanon": pprl_kanon,
+        "pprl_suppressed_pairs": pprl_suppressed_pairs,
         "corpus_rollup": corpus_rollup,
         "corpus_divergence": corpus_divergence,
         "spans_roundtrip": spans_roundtrip,
@@ -4073,6 +4091,23 @@ FROM t GROUP BY 1, 2
         "events_pivot": events_pivot_sql,
         "pprl_block_stats": block_stats_sql,
         "pprl_kanon": kanon_sql,
+        # suppression twin: same blocks CTE, sub-k blocks dropped before
+        # the identical pair scoring
+        "pprl_suppressed_pairs": (
+            SQL_BLOCKS
+            + """
+, bs AS (SELECT block_key, count(*)::BIGINT AS n FROM blocks GROUP BY 1),
+kept AS (SELECT b.* FROM blocks b JOIN bs USING (block_key) WHERE bs.n >= 5),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         round(len(list_intersect(l.bf, r.bf))::DOUBLE
+               / (sqrt(len(l.bf)) * sqrt(len(r.bf))), 6) AS sim
+  FROM kept l JOIN kept r USING (block_key)
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id1, id2, sim FROM pairs
+"""
+        ),
         "corpus_rollup": corpus_rollup_sql,
         "text_decontaminate": text_decontaminate_sql,
         "text_dup_spans": text_dup_spans_sql,

@@ -210,6 +210,8 @@ def main() -> None:
         "block_stats": lambda s: q["pprl_block_stats"](s, SF_DIR).count(),
         # k-anonymity privacy audit over the same blocked table
         "pprl_kanon": lambda s: q["pprl_kanon"](s, SF_DIR).count(),
+        # k-anonymity enforcement: sub-k blocks dropped pre-join
+        "pprl_suppressed": lambda s: q["pprl_suppressed_pairs"](s, SF_DIR).count(),
         # threshold calibration sweep, clerical-review sample, blocking
         # RR/PC/PQ metrics (all ride the scored-pair memo)
         "threshold_sweep": lambda s: q["pprl_threshold_sweep"](s, SF_DIR).count(),
