@@ -273,6 +273,27 @@ def _minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _setjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT AllPairs/PPJoin pair table (k=2 shingles, J>=0.4).
+
+    Memoized + materialized: ``dedup_setjoin`` and ``dedup_recall_report``
+    read the identical lossless pair table — sharing the localCheckpoint
+    runs the prefix-filtered join once per session instead of once per
+    query (it is the single most expensive stage in the suite, ~14s at
+    sf0.1)."""
+    from pprl_spark.functions.text import shingle_hashes
+    from pprl_spark.operators.setjoin import jaccard_join
+
+    def build():
+        toks = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            shingle_hashes("text", k=2).alias("tokens"),
+        )
+        return jaccard_join(toks, threshold="0.4").localCheckpoint()
+
+    return _memoized((_skey(spark), sf_dir, "setjoin_pairs"), build)
+
+
 def _corpus_blocks_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-side block table persisted BUCKETED by the hashed block key.
 
@@ -876,15 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filter, positional bound, final threshold) is integer-exact
         # rational arithmetic, so the oracle is the naive join with the
         # identical inter*den >= num*union comparison.
-        from pprl_spark.functions.text import shingle_hashes
-        from pprl_spark.operators.setjoin import jaccard_join
-
-        toks = _docs(spark, sf_dir).select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            shingle_hashes("text", k=2).alias("tokens"),
-        )
-        out = jaccard_join(toks, threshold="0.4")
-        return out.select(
+        return _setjoin_pairs(spark, sf_dir).select(
             "id1",
             "id2",
             "n1",
@@ -1051,15 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SAME k=2 shingle sets. n_hit == n_banded is the verify-step
         # invariant (banded pairs are true pairs); recall = the banding
         # S-curve's measured miss rate at J >= 0.4.
-        from pprl_spark.functions.text import shingle_hashes
-        from pprl_spark.operators.setjoin import jaccard_join
-
         banded = _minhash_dedup_pairs(spark, sf_dir).select("id1", "id2")
-        toks = _docs(spark, sf_dir).select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            shingle_hashes("text", k=2).alias("tokens"),
-        )
-        exact = jaccard_join(toks, threshold="0.4").select("id1", "id2")
+        exact = _setjoin_pairs(spark, sf_dir).select("id1", "id2")
         e = exact.agg(F.count("*").cast("long").alias("n_exact"))
         bd = banded.agg(F.count("*").cast("long").alias("n_banded"))
         h = banded.join(exact, ["id1", "id2"]).agg(

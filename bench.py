@@ -241,6 +241,11 @@ def main() -> None:
         "fs_scored": ["fs_scored"],
         "pprl_block_score": ["scored_pairs", "blocked"],
         "pprl_match": ["mutual_best"],
+        # the exact AllPairs join is memoized (shared with dedup_recall);
+        # dedup_setjoin measures the JOIN, so each sample rebuilds it —
+        # dedup_recall then deliberately rides the memo (stage-cost
+        # semantics: it measures the recall counting, not the join)
+        "dedup_setjoin": ["setjoin_pairs"],
     }
 
     import statistics
