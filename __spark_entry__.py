@@ -207,13 +207,15 @@ def _scored_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_block_pairs(_blocked(spark, sf_dir))
 
 
-def _score_block_pairs(blocks: DataFrame) -> DataFrame:
+def _score_block_pairs(blocks: DataFrame, sim: str = "cosine") -> DataFrame:
     # hashed join key + Bloom bitmaps: identical sim values (bit_count of
     # AND == size(array_intersect) on distinct indices — oracle-exact),
     # ~2.7x smaller join rows and a word-AND intersect kernel. The bitmap
     # comes precomputed from the _bloom kernel (bf_bitmap) — never as a
     # JVM higher-order function, which is interpreted and re-evaluable
-    # per consumer (the intermittent 5x pair-join stall)
+    # per consumer (the intermittent 5x pair-join stall). ``sim``
+    # selects cosine (default) or the reference's Dice coefficient,
+    # mirroring operators.candidates' similarity switch.
     from pprl_spark.operators.candidates import bitmap_intersect_count
 
     sides = blocks.select(
@@ -228,14 +230,17 @@ def _score_block_pairs(blocks: DataFrame) -> DataFrame:
     right = sides.select(
         F.col("doc_id").alias("id2"), "bk", F.col("bm").alias("bm2"), F.col("n").alias("n2")
     )
+    inter = bitmap_intersect_count(F.col("bm1"), F.col("bm2")).cast("double")
+    if sim == "cosine":
+        sim_col = inter / (F.sqrt("n1") * F.sqrt("n2"))
+    elif sim == "dice":
+        sim_col = F.lit(2.0) * inter / (F.col("n1") + F.col("n2")).cast("double")
+    else:
+        raise ValueError(f"sim must be cosine|dice, got {sim!r}")
     pairs = (
         left.join(right, "bk")
         .where(F.col("id1") < F.col("id2"))
-        .withColumn(
-            "sim",
-            bitmap_intersect_count(F.col("bm1"), F.col("bm2")).cast("double")
-            / (F.sqrt("n1") * F.sqrt("n2")),
-        )
+        .withColumn("sim", sim_col)
         .groupBy("id1", "id2")
         .agg(F.round(F.first("sim"), 6).alias("sim"))
     )
@@ -1930,6 +1935,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return blocking_stats(_blocked(spark, sf_dir), k=20)
 
+    def pprl_dice_pairs(spark, sf_dir):
+        # the reference's Dice coefficient (2|A∩B|/(|A|+|B|),
+        # embedder.py's similarity choice beside cosine) over the same
+        # blocked candidates — same bitmap word-AND kernel, different
+        # normalization; puts the candidates.py dice switch under the
+        # oracle
+        return _score_block_pairs(_blocked(spark, sf_dir), sim="dice")
+
     def pprl_suppressed_pairs(spark, sf_dir):
         # k-anonymity ENFORCEMENT (the kanon report's actionable
         # sibling): drop every sub-5 block BEFORE the pair join — no
@@ -2596,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": events_pivot,
         "pprl_block_stats": pprl_block_stats,
         "pprl_kanon": pprl_kanon,
+        "pprl_dice_pairs": pprl_dice_pairs,
         "pprl_suppressed_pairs": pprl_suppressed_pairs,
         "corpus_rollup": corpus_rollup,
         "corpus_divergence": corpus_divergence,
@@ -4097,6 +4111,20 @@ FROM t GROUP BY 1, 2
         "events_pivot": events_pivot_sql,
         "pprl_block_stats": block_stats_sql,
         "pprl_kanon": kanon_sql,
+        # dice twin: same blocks CTE and pair join, Dice normalization
+        "pprl_dice_pairs": (
+            SQL_BLOCKS
+            + """
+, pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         round(2.0 * len(list_intersect(l.bf, r.bf))::DOUBLE
+               / (len(l.bf) + len(r.bf))::DOUBLE, 6) AS sim
+  FROM blocks l JOIN blocks r USING (block_key)
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id1, id2, sim FROM pairs
+"""
+        ),
         # suppression twin: same blocks CTE, sub-k blocks dropped before
         # the identical pair scoring
         "pprl_suppressed_pairs": (

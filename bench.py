@@ -212,6 +212,8 @@ def main() -> None:
         "pprl_kanon": lambda s: q["pprl_kanon"](s, SF_DIR).count(),
         # k-anonymity enforcement: sub-k blocks dropped pre-join
         "pprl_suppressed": lambda s: q["pprl_suppressed_pairs"](s, SF_DIR).count(),
+        # reference Dice normalization over the same blocked candidates
+        "pprl_dice": lambda s: q["pprl_dice_pairs"](s, SF_DIR).count(),
         # threshold calibration sweep, clerical-review sample, blocking
         # RR/PC/PQ metrics (all ride the scored-pair memo)
         "threshold_sweep": lambda s: q["pprl_threshold_sweep"](s, SF_DIR).count(),
