@@ -354,16 +354,14 @@ def _mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``entry`` all consume it — one ranking pass per session."""
 
     def build():
-        pairs = _scored_pairs(spark, sf_dir)
-        w1 = Window.partitionBy("id1").orderBy(F.desc("sim"), F.asc("id2"))
-        w2 = Window.partitionBy("id2").orderBy(F.desc("sim"), F.asc("id1"))
-        return (
-            pairs.withColumn("r1", F.row_number().over(w1))
-            .withColumn("r2", F.row_number().over(w2))
-            .where((F.col("r1") == 1) & (F.col("r2") == 1))
-            .select("id1", "id2", "sim")
-            .localCheckpoint()
-        )
+        # rank-1-both-ways via the lexicographic-max narrowing in
+        # operators.matching (r6): map-side-combined per-side max aggs +
+        # broadcast joins instead of two full exchanges+sorts of the
+        # pair table; the memoized pair checkpoint is the materialization
+        from pprl_spark.operators.matching import mutual_best_match
+
+        pairs = _scored_pairs(spark, sf_dir).select("id1", "id2", "sim")
+        return mutual_best_match(pairs, materialize="none").localCheckpoint()
 
     return _memoized((_skey(spark), sf_dir, "mutual_best"), build)
 
@@ -2129,6 +2127,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         fields = ["lang", "source", "sim", "len"]
+        # slim to the 7 columns downstream reads before anything
+        # materializes (the attr columns existed only to compute g_*);
+        # no checkpoint here — the EM aggregation and the scoring scan
+        # each evaluate the (broadcast-join + projection) lineage once
+        # over the memoized pair checkpoint, which is cheaper than
+        # materializing 7.9M gamma rows a second time next to the
+        # _fs_scored_memo checkpoint (r6: one materialization, not two)
         gamma = agreement_vectors(
             pairs,
             {
@@ -2137,7 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "sim": F.col("sim") >= 0.5,
                 "len": F.col("lb1") == F.col("lb2"),
             },
-        ).localCheckpoint()  # EM aggregation + scoring share one build
+        ).select("id1", "id2", "sim", "g_lang", "g_source", "g_sim", "g_len")
         params = fs_train(gamma, fields, iters=50)
         _sync_fs_fixture(params, sf_dir)
         out = fs_score(gamma, fields, params["weights_u"])
@@ -2176,7 +2181,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pprl_spark.operators.matching import mutual_best_match
 
         scored = _fs_scored_memo(spark, sf_dir)
-        out = mutual_best_match(scored, order_cols=("score_u", "sim"))
+        # rank over the 4 output columns only: the two window sorts carry
+        # 4-col rows instead of the checkpoint's 8 (the g_* indicators are
+        # derivable but unused here — smaller sort rows, same result)
+        out = mutual_best_match(
+            scored.select("id1", "id2", "score_u", "sim"),
+            order_cols=("score_u", "sim"),
+            materialize="none",
+        )
         return out.select(
             F.col("id1").cast("long"),
             F.col("id2").cast("long"),

@@ -376,6 +376,59 @@ def triangle_counts(
     )
 
 
+def _pagerank_driver(
+    e: DataFrame, iterations: int, damping_pct: int, scale: int
+) -> DataFrame:
+    """Counted small-graph fast path: the identical integer fixed-point
+    power iteration, vectorized on the driver.
+
+    Near-dup graphs at bench scale are a few hundred nodes; the
+    distributed loop pays ~3 jobs x ``iterations`` of scheduling for
+    microseconds of arithmetic (same rationale as :func:`_cc_driver`).
+    Every operation below is int64 floor division / multiply / add on
+    non-negative values — bit-identical to the distributed plan's
+    ``DIV``-based expressions, so the counted threshold changes cost,
+    never values (pinned by a fast-path-vs-distributed equality test).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    pdf = e.toPandas()
+    u = pdf.iloc[:, 0].to_numpy()
+    v = pdf.iloc[:, 1].to_numpy()
+    und_src = np.concatenate([u, v])
+    und_dst = np.concatenate([v, u])
+    codes, uniq = pd.factorize(np.concatenate([und_src, und_dst]))
+    m = len(und_src)
+    src_c, dst_c = codes[:m], codes[m:]
+    dtype = e.schema[0].dataType.simpleString()
+    n = len(uniq)
+    if n == 0:
+        return spark.createDataFrame(
+            [], f"doc_id {dtype}, deg long, pr_u long, pr double"
+        )
+    deg = np.bincount(src_c, minlength=n).astype(np.int64)
+    base = (scale * (100 - damping_pct)) // (100 * n)
+    pr = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iterations):
+        contrib = (pr[src_c] * damping_pct) // (100 * deg[src_c])
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst_c, contrib)
+        pr = base + s
+    out = pd.DataFrame(
+        {
+            "doc_id": uniq,
+            "deg": deg,
+            "pr_u": pr,
+            "pr": pr / float(scale),
+        }
+    )
+    return spark.createDataFrame(
+        out, f"doc_id {dtype}, deg long, pr_u long, pr double"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "id1",
@@ -384,6 +437,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**12,
     materialize: str = "checkpoint",
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over an undirected graph ->
     (doc_id, deg, pr_u, pr).
@@ -428,6 +482,18 @@ def pagerank(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # counted small-graph fast path (same thresholds as CC: the driver
+    # arrays cost ~32B/edge; values are bit-identical by construction)
+    from pyspark.sql.types import StringType
+
+    if small_graph_edges is None:
+        small_graph_edges = (
+            SMALL_GRAPH_EDGES_STR
+            if isinstance(e.schema[0].dataType, StringType)
+            else SMALL_GRAPH_EDGES
+        )
+    if small_graph_edges and e.count() <= small_graph_edges:
+        return _pagerank_driver(e, iterations, damping_pct, scale)
     und = _materialize(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
         materialize,

@@ -749,7 +749,10 @@ def duplicated_spans(
 
 
 def source_divergence(
-    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """Per-group unigram KL divergence from the corpus distribution ->
     (source, n_tokens, vocab_size, kl_u, kl).
@@ -772,10 +775,17 @@ def source_divergence(
     1-row/`|groups|`-row totals, and a final integer sum per group —
     nothing corpus-sized shuffles twice.
     """
-    per = (
+    from pprl_spark.operators.dedup import _materialize
+
+    # four consumers (group totals, word marginals, grand total, the KL
+    # join) read the (group, word) count table — materialize it once or
+    # Catalyst re-runs the explode+aggregate per consumer (measured 4x
+    # the stage cost at sf0.1)
+    per = _materialize(
         docs.select(F.col(group_col).alias("g"), F.explode(words_col(text_col)).alias("w"))
         .groupBy("g", "w")
-        .agg(F.count("*").cast("long").alias("n_gw"))
+        .agg(F.count("*").cast("long").alias("n_gw")),
+        materialize,
     )
     tot_g = per.groupBy("g").agg(F.sum("n_gw").cast("long").alias("n_g"))
     corpus_w = per.groupBy("w").agg(F.sum("n_gw").cast("long").alias("n_w"))

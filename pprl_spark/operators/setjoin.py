@@ -9,9 +9,10 @@ still prunes the candidate space, because two sets with Jaccard >= t
 must share a token in their (small) rarest-token prefixes:
 
 - canonical order: every doc's distinct tokens sorted by (global df,
-  token) ascending — rarest first.  Computed with two window passes
-  (count over token partition, row_number over doc partition): no df
-  side-table join, no broadcast, two exchanges.
+  token) ascending — rarest first.  df comes from a map-side-combined
+  ``groupBy(token).count()`` hash-joined back onto the exploded tokens
+  (skew-safe: a hub token never sorts its posting list in one window
+  task), then one row_number window over the doc partition.
 - prefix: the first ``n - ceil(t*n) + 1`` tokens.  Any pair with
   Jaccard >= t shares a prefix token (pigeonhole on the canonical
   order), so the candidate join runs on prefix tokens only — and
@@ -81,9 +82,16 @@ def jaccard_join(
     base = _materialize(base, materialize)
 
     ex = base.select("_id", "_n", F.explode("_tk").alias("_t"))
-    ranked = ex.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("_t"))
-    ).withColumn(
+    # Token document frequency via map-side-combined aggregation + hash
+    # join, NOT count() over a token-partitioned window: a hub token (a
+    # stopword-grade shingle present in half the corpus) would put its
+    # whole posting list into ONE window partition and sort it in a
+    # single task, while the groupBy partial-aggregates map-side (the
+    # shuffle carries one row per distinct token per map partition) and
+    # the join back is AQE-skew-splittable. shuffle_hash on the tiny df
+    # side avoids sort-merge's full sort of the exploded token table.
+    tok_df = ex.groupBy("_t").agg(F.count("*").alias("_df"))
+    ranked = ex.join(tok_df.hint("shuffle_hash"), "_t").withColumn(
         "_pos",
         F.row_number()
         .over(Window.partitionBy("_id").orderBy("_df", "_t"))
@@ -168,10 +176,11 @@ def containment_join(
     include a shared one (pigeonhole — for any ordering), and only the
     probe's rarest-first prefix joins the target's inverted index.
 
-    Scale shape: probe and target tokens travel ONE tagged union; the
-    target-side df lands on probe rows via a conditional window over
-    the token partition (no df-table join), so probe tokens absent from
-    the target rank rarest and generate zero candidates. The candidate
+    Scale shape: the target-side df is a map-side-combined token count
+    left-joined onto the probe tokens (absent tokens coalesce to df 0),
+    so probe tokens absent from the target rank rarest and generate
+    zero candidates, and no hub token ever sorts its posting list in a
+    single window task. The candidate
     join probes the target's FULL posting lists — that is inherent to
     containment (the target has no prefix), so hub-token postings are
     the cost driver; rarest-first probe prefixes keep hub tokens out of
@@ -199,22 +208,25 @@ def containment_join(
         )
 
     pb, tb = _base(probe), _base(target)
-    tagged = pb.select(
-        F.lit("p").alias("_side"), "_id", "_n", F.explode("_tk").alias("_t")
-    ).unionByName(
-        tb.select(F.lit("t").alias("_side"), "_id", "_n", F.explode("_tk").alias("_t"))
-    )
-    w_tok = Window.partitionBy("_t")
-    with_df = _materialize(
-        tagged.withColumn(
-            "_df", F.sum(F.when(F.col("_side") == "t", 1).otherwise(0)).over(w_tok)
-        ),
-        materialize,
-    )
+    t_ex = tb.select("_id", "_n", F.explode("_tk").alias("_t"))
+    p_ex = pb.select("_id", "_n", F.explode("_tk").alias("_t"))
+    # Target-side document frequency via map-side-combined aggregation +
+    # LEFT hash join (probe tokens absent from the target coalesce to
+    # df 0 -> rank rarest-first and generate zero candidates), replacing
+    # the tagged-union conditional window: a hub token would sort its
+    # whole posting list in one window task, while the groupBy partial-
+    # aggregates map-side and the join back is AQE-skew-splittable.
+    tdf = t_ex.groupBy("_t").agg(F.count("*").alias("_df"))
     # probe prefix: first nP - ceil(t*nP) + 1 tokens, rarest-in-target first
-    ranked = with_df.filter(F.col("_side") == "p").withColumn(
-        "_pos",
-        F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_t")).cast("long"),
+    ranked = (
+        p_ex.join(tdf.hint("shuffle_hash"), "_t", "left")
+        .withColumn("_df", F.coalesce("_df", F.lit(0)))
+        .withColumn(
+            "_pos",
+            F.row_number()
+            .over(Window.partitionBy("_id").orderBy("_df", "_t"))
+            .cast("long"),
+        )
     )
     prefix_len = F.expr(f"_n - ((_n * {num} + {den - 1}) DIV {den}) + 1")
     pref = ranked.filter(F.col("_pos") <= prefix_len)
@@ -222,7 +234,7 @@ def containment_join(
     cand = (
         pref.select(F.col("_id").alias("probe_id"), "_t", F.col("_n").alias("n_probe"))
         .join(
-            with_df.filter(F.col("_side") == "t").select(
+            t_ex.select(
                 F.col("_id").alias("target_id"), "_t", F.col("_n").alias("n_target")
             ),
             "_t",

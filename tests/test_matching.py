@@ -224,3 +224,45 @@ def test_mutual_best_self_linkage_one_to_one(spark):
     two_party = mutual_best_match(pairs, rounds=1).collect()
     tp_used = [r["id1"] for r in two_party] + [r["id2"] for r in two_party]
     assert len(tp_used) != len(set(tp_used))
+
+
+def test_mutual_best_strategies_identical(spark):
+    """The r6 "agg" strategy (lexicographic-max narrowing, no pair-table
+    exchange) must return exactly the window strategy's result — on ties,
+    on multi-column orderings, and in self-linkage mode."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    seen = set()
+    for _ in range(400):
+        i, j = rng.randrange(40), rng.randrange(40, 80)
+        if (i, j) in seen:
+            continue
+        seen.add((i, j))
+        # coarse score (forces ties) + fine score
+        rows.append((f"a{i}", f"b{j}", float(rng.randrange(4)), rng.random()))
+    cand = spark.createDataFrame(
+        rows, "id1 string, id2 string, score double, sim double"
+    )
+    for self_linkage in (False, True):
+        for order_cols in (("sim",), ("score", "sim")):
+            w = {
+                tuple(r)
+                for r in mutual_best_match(
+                    cand,
+                    self_linkage=self_linkage,
+                    order_cols=order_cols,
+                    strategy="window",
+                ).collect()
+            }
+            a = {
+                tuple(r)
+                for r in mutual_best_match(
+                    cand,
+                    self_linkage=self_linkage,
+                    order_cols=order_cols,
+                    strategy="agg",
+                ).collect()
+            }
+            assert w == a, (self_linkage, order_cols)
