@@ -114,9 +114,17 @@ def minhash_candidates(
     deduped pair table by id afterwards; the base table is checkpointed
     so the shingle computation runs once, not once per join arm.
     """
+    # Filter null text BEFORE the shingle projection, not `size(sh) > 0`
+    # after it: predicate pushdown rewrites a filter on a projected alias
+    # into a filter on the underlying EXPRESSION below the project, so the
+    # interpreted shingle fold ran once for the filter and again for the
+    # output column (measured 4.3s -> 1.4s for the sf0.1 base build).
+    # Equivalent: shingle_hashes yields >= 1 element for any non-null
+    # text (n >= k windows, or the single joined-words shingle when
+    # n < k, [hash("")] for empty text) and null only for null text.
     base = (
-        df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, k).alias("sh"))
-        .where(F.size("sh") > 0)
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, k).alias("sh"))
         .withColumn("_sig", minhash_col(F.col("sh"), bands * rows_per_band))
     )
     base = _materialize(base, materialize)
@@ -190,11 +198,13 @@ def ngram_jaccard_pairs(
     # join carries (id, blk) only; shingle arrays join back onto the
     # distinct pairs for the exact-Jaccard verify (same shuffle shape as
     # minhash_candidates — arrays never ride the block exchange)
-    base = df.select(
+    # null-text pre-filter for the same pushdown-duplication reason as
+    # minhash_candidates (shingle arrays are never empty for non-null text)
+    base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         block_expr.alias("blk"),
         shingle_hashes(text_col, k).alias("sh"),
-    ).where(F.size("sh") > 0)
+    )
     base = _materialize(base, materialize)
     keys = base.select("doc_id", "blk")
     cand = (
@@ -627,11 +637,13 @@ def minhash_index(
     (``streaming/incremental.py::delta_candidates``): the corpus is
     never re-shingled and never re-paired against itself.
     """
+    # null-text pre-filter for the same pushdown-duplication reason as
+    # minhash_candidates (shingle arrays are never empty for non-null text)
     base = (
-        df.select(
+        df.where(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col).alias("doc_id"), shingle_hashes(text_col, k).alias("sh")
         )
-        .where(F.size("sh") > 0)
         .withColumn("_sig", minhash_col(F.col("sh"), bands * rows_per_band))
     )
     base = _materialize(base, materialize)

@@ -72,14 +72,17 @@ def jaccard_join(
     if not 0 < frac <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold!r}")
 
-    base = (
+    # Materialize BEFORE the n > 0 filter: filtering on a projected alias
+    # pushes the predicate below the projection, re-evaluating the (often
+    # expensive — shingle folds) token expression once for the filter and
+    # once for the column. Post-checkpoint, size() reads a stored array.
+    base = _materialize(
         df.select(
             F.col(id_col).alias("_id"), F.array_distinct(F.col(tokens_col)).alias("_tk")
-        )
-        .withColumn("_n", F.size("_tk").cast("long"))
-        .filter(F.col("_n") > 0)
+        ),
+        materialize,
     )
-    base = _materialize(base, materialize)
+    base = base.withColumn("_n", F.size("_tk").cast("long")).filter(F.col("_n") > 0)
 
     ex = base.select("_id", "_n", F.explode("_tk").alias("_t"))
     # Token document frequency via map-side-combined aggregation + hash
@@ -197,14 +200,17 @@ def containment_join(
     from pprl_spark.operators.dedup import _materialize
 
     def _base(df: DataFrame) -> DataFrame:
-        return _materialize(
+        # materialize before the n > 0 filter — same pushdown-duplication
+        # avoidance as jaccard_join's base
+        mat = _materialize(
             df.select(
                 F.col(id_col).alias("_id"),
                 F.array_distinct(F.col(tokens_col)).alias("_tk"),
-            )
-            .withColumn("_n", F.size("_tk").cast("long"))
-            .filter(F.col("_n") > 0),
+            ),
             materialize,
+        )
+        return mat.withColumn("_n", F.size("_tk").cast("long")).filter(
+            F.col("_n") > 0
         )
 
     pb, tb = _base(probe), _base(target)

@@ -456,11 +456,12 @@ def stream_near_duplicates(
     stream = spark.readStream.schema(schema).parquet(input_dir)
     if watermark is not None:
         stream = stream.withWatermark("ts", watermark)
+    # null-text pre-filter instead of size(sh) > 0: pushdown would
+    # re-evaluate the shingle fold for the filter (see dedup operators);
+    # shingle arrays are never empty for non-null text
     d = (
-        stream.select(
-            "doc_id", "ts", shingle_hashes("text", k).alias("sh")
-        )
-        .where(F.size("sh") > 0)
+        stream.where(F.col("text").isNotNull())
+        .select("doc_id", "ts", shingle_hashes("text", k).alias("sh"))
         .withColumn("_sig", minhash_col(F.col("sh"), bands * rows_per_band))
     )
     dband = d.select(
