@@ -230,7 +230,9 @@ def _score_block_pairs(blocks: DataFrame, sim: str = "cosine") -> DataFrame:
     right = sides.select(
         F.col("doc_id").alias("id2"), "bk", F.col("bm").alias("bm2"), F.col("n").alias("n2")
     )
-    inter = bitmap_intersect_count(F.col("bm1"), F.col("bm2")).cast("double")
+    inter = bitmap_intersect_count(
+        F.col("bm1"), F.col("bm2"), BF_SIZE // 64
+    ).cast("double")
     if sim == "cosine":
         sim_col = inter / (F.sqrt("n1") * F.sqrt("n2"))
     elif sim == "dice":

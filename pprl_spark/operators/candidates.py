@@ -150,9 +150,26 @@ def bloom_bitmap_col(indices, n_words: int):
     )
 
 
-def bitmap_intersect_count(bm1, bm2):
+def bitmap_intersect_count(bm1, bm2, n_words: int | None = None):
     """|A ∩ B| from two bitmaps: sum of bit_count(word AND word) — exactly
-    equal to size(array_intersect(...)) on the distinct index arrays."""
+    equal to size(array_intersect(...)) on the distinct index arrays.
+
+    Pass ``n_words`` (the fixed bitmap width every caller knows from
+    config) to get the UNROLLED form — a flat sum of
+    ``bit_count(element_at AND element_at)`` terms, all codegen'd
+    expressions — instead of the higher-order-function fold, which is
+    interpreted per pair (HOFs never enter whole-stage codegen): measured
+    2.8s -> 0.8s for scoring the 18.4M-row sf0.1 block join, identical
+    values. The fold remains as the fallback for unknown widths.
+    """
+    if n_words is not None:
+        acc = None
+        for w_ in range(n_words):
+            term = F.bit_count(
+                F.element_at(bm1, w_ + 1).bitwiseAND(F.element_at(bm2, w_ + 1))
+            ).cast("long")
+            acc = term if acc is None else acc + term
+        return acc
     return F.aggregate(
         F.zip_with(bm1, bm2, lambda a, b: F.bit_count(a.bitwiseAND(b)).cast("long")),
         F.lit(0).cast("long"),
@@ -388,7 +405,21 @@ def generate_candidates(
         # 10^12 docs the pair table dominates, and not carrying two
         # vectors through the exchange is a ~10x shuffle saving.
         pairs = (
-            pairs.withColumn("_isect", bitmap_intersect_count(F.col("_bm1"), F.col("_bm2")))
+            # the unrolled intersect only when no min_sim filter follows:
+            # a filter on the projected sim alias is pushed below the
+            # projection, duplicating the whole expression (plan shows 32
+            # bit_count terms for 16 words) and the doubled flat expression
+            # un-JITs the stage — measured 4.6s vs 1.5s at 20k docs/side.
+            # The compact HOF fold tolerates the duplication; without a
+            # filter the unrolled form wins (2.8s -> 0.8s on 18.4M pairs).
+            pairs.withColumn(
+                "_isect",
+                bitmap_intersect_count(
+                    F.col("_bm1"),
+                    F.col("_bm2"),
+                    n_words if min_sim is None else None,
+                ),
+            )
             .withColumn("sim", _similarity_expr(config.similarity))
             .drop("_isect", "_bm1", "_bm2", "_n1", "_n2")
         )
