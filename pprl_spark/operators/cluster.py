@@ -31,64 +31,63 @@ from pyspark.sql import functions as F
 log = logging.getLogger(__name__)
 
 
-SMALL_GRAPH_EDGES = 1_000_000
-# string ids cost ~4x a long in the driver union-find (PyObject header +
-# hash + chars vs a cached/small-int-adjacent long), so the counted
-# threshold shrinks accordingly — see the memory budget in _cc_driver
-SMALL_GRAPH_EDGES_STR = 250_000
+SMALL_GRAPH_EDGES = 8_000_000
+# string ids sort/searchsorted as object arrays (~4-8x a packed int64
+# column in both time and bytes), so the counted threshold shrinks
+# accordingly — see the memory budget in _cc_driver
+SMALL_GRAPH_EDGES_STR = 1_000_000
 
 
 def _cc_driver(edges: DataFrame) -> DataFrame:
-    """Counted small-graph fast path: union-find on the driver.
+    """Counted small-graph fast path: vectorized min-label CC on the driver.
 
     Entity-resolution match graphs are usually tiny relative to the
     corpus (matches << docs); below the counted threshold the iterative
     distributed loop's per-job scheduling (~5 jobs x N iterations) costs
-    10-100x the actual work. A driver union-find over the collected edge
-    list answers in milliseconds with the identical min-label semantics:
-    union-by-min keeps the smallest id as every root, so find() IS the
-    entity_id. Same counted-threshold pattern as the SCM alignment fast
-    path; the distributed loop above the threshold is unchanged and
-    remains the 10^12-edge story.
+    10-100x the actual work. r6 replaced the per-edge Python dict
+    union-find (~1µs/edge — it became the bottleneck the moment the
+    threshold admitted multi-million-edge graphs) with numpy pointer
+    jumping: nodes are mapped to indices in SORTED id order (so min
+    index == min id), then alternate (a) per-edge min-label relaxation
+    via ``np.minimum.at`` in both directions and (b) full path
+    compression ``par = par[par]`` until a fixed point — O(edges) work
+    per round, a handful of rounds on match graphs (near-cliques
+    converge in one). Exactly the distributed loop's min-label
+    semantics: entity_id = min doc_id of the component.
 
-    Memory budget (the binding cost is the PYTHON DICT, not the Arrow
-    transfer): at the 1M-edge long-id threshold the transfer is ~16MB,
-    but ``parent`` can hold up to 2M entries — ~64B per dict slot plus a
-    ~28-32B int object per distinct id ≈ ~200MB worst-case, which fits
-    the driver process (Python heap is OUTSIDE the 2g JVM heap) but is
-    not free. String ids roughly double the per-entry cost (49B+len
-    object, no small-object cache), hence the 4x lower
-    ``SMALL_GRAPH_EDGES_STR`` threshold picked in
-    :func:`connected_components`.
+    Memory budget: ~16B/edge for the index arrays plus the id array —
+    ~130MB at the 8M-edge threshold — transferred via Arrow. String ids
+    cost more to sort/searchsorted (object arrays), hence the lower
+    ``SMALL_GRAPH_EDGES_STR``.
     """
+    import numpy as np
     import pandas as pd
 
     spark = edges.sparkSession
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
+    dtype = edges.schema[0].dataType.simpleString()
     # Arrow transfer: ~10x faster than Row collect() near the threshold
     pdf_edges = edges.toPandas()
-    for u, v in zip(pdf_edges.iloc[:, 0], pdf_edges.iloc[:, 1]):
-        if u not in parent:
-            parent[u] = u
-        if v not in parent:
-            parent[v] = v
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            lo, hi = (ru, rv) if ru < rv else (rv, ru)
-            parent[hi] = lo
-    pdf = pd.DataFrame(
-        {"doc_id": list(parent), "entity_id": [find(x) for x in parent]}
-    )
-    dtype = edges.schema[0].dataType.simpleString()
+    u = pdf_edges.iloc[:, 0].to_numpy()
+    v = pdf_edges.iloc[:, 1].to_numpy()
+    if len(u) == 0:
+        return spark.createDataFrame([], f"doc_id {dtype}, entity_id {dtype}")
+    ids = np.unique(np.concatenate([u, v]))  # sorted: index order == id order
+    src = np.searchsorted(ids, u)
+    dst = np.searchsorted(ids, v)
+    par = np.arange(len(ids))
+    while True:
+        before = par.copy()
+        l1, l2 = par[src], par[dst]
+        np.minimum.at(par, src, l2)
+        np.minimum.at(par, dst, l1)
+        while True:
+            nxt = par[par]
+            if np.array_equal(nxt, par):
+                break
+            par = nxt
+        if np.array_equal(par, before):
+            break
+    pdf = pd.DataFrame({"doc_id": ids, "entity_id": ids[par]})
     return spark.createDataFrame(pdf, f"doc_id {dtype}, entity_id {dtype}")
 
 

@@ -29,6 +29,12 @@ from pyspark.sql import types as T
 
 from pprl_spark.config import EmbedderConfig
 
+# Counted fast-path bound for driver-side joint-frequency scatter-adds:
+# ~3KB of index lists per training row (~60MB at the limit) plus two
+# B x B int64 accumulators (16MB at B=1024). Above it the distributed
+# explode x explode aggregation runs unchanged.
+SCM_DRIVER_ROWS = 20_000
+
 
 def nearest_pos_semi_definite(X: np.ndarray, eps: float = 0.0) -> np.ndarray:
     """Eigenvalue clipping — semantics of embedder.py:712-739."""
@@ -72,6 +78,7 @@ def train_scm(
     seed: int = 42,
     prior_matched: np.ndarray | None = None,
     prior_unmatched: np.ndarray | None = None,
+    driver_rows: int | None = None,
 ) -> dict[str, np.ndarray]:
     """Train the SCM from aligned matched pairs.
 
@@ -102,35 +109,75 @@ def train_scm(
     # unchanged above the threshold.
     aligned = aligned.select("bf_indices_1", "bf_indices_2").localCheckpoint()
     n_train = aligned.count()
-    numbered, _ = _numbered(
-        aligned.select(
+    if driver_rows is None:
+        driver_rows = SCM_DRIVER_ROWS
+
+    if n_train <= driver_rows:
+        # Counted small-training fast path: collect the aligned index
+        # arrays (bounded: <= SCM_DRIVER_ROWS rows x ~2*num_indices ints)
+        # and scatter-add the two joint-frequency matrices on the driver —
+        # the reference's own _joint_freq_matrix shape — instead of two
+        # explode x explode shuffles whose ~|pairs|*|ix|^2 rows dwarf the
+        # training set (measured 2.6s -> ~0.2s at sf0.1's 865 rows).
+        # Values are identical: per-cell totals are exact integers either
+        # way (int64 accumulate -> float32 == float32(count)), and the
+        # seeded derangement is reproduced from the same xxhash64 keys
+        # (rank order; ties only arise from identical index arrays, where
+        # either order pairs the same values).
+        pdf = aligned.select(
             "bf_indices_1",
             "bf_indices_2",
             F.xxhash64("bf_indices_1", F.lit(seed)).alias("_h1"),
-        ),
-        "_h1",
-        offset=0,
-        range_by=True,
-        known_count=n_train,
-    )
-    numbered = numbered.select(
-        "bf_indices_1", "bf_indices_2", F.col("slot").alias("rn")
-    )
-    # seeded shuffle of side 2 against side 1 (negative class, embedder.py:623)
-    shuffled2, _ = _numbered(
-        aligned.select(
-            "bf_indices_2", F.xxhash64("bf_indices_2", F.lit(seed + 1)).alias("_h2")
-        ),
-        "_h2",
-        offset=0,
-        range_by=True,
-        known_count=n_train,
-    )
-    shuffled2 = shuffled2.select("bf_indices_2", F.col("slot").alias("rn"))
-    jumbled = numbered.drop("bf_indices_2").join(shuffled2, "rn")
-
-    Fm = _counts_to_matrix(joint_freq_counts(numbered), size)
-    Fu = _counts_to_matrix(joint_freq_counts(jumbled), size)
+            F.xxhash64("bf_indices_2", F.lit(seed + 1)).alias("_h2"),
+        ).toPandas()
+        Sm = np.zeros((size, size), dtype=np.int64)
+        Su = np.zeros((size, size), dtype=np.int64)
+        ix1 = [np.asarray(a) for a in pdf["bf_indices_1"]]
+        ix2 = [np.asarray(a) for a in pdf["bf_indices_2"]]
+        for a, b in zip(ix1, ix2):
+            if len(a) and len(b):
+                Sm[np.ix_(a, b)] += 1
+        order1 = np.argsort(pdf["_h1"].to_numpy(), kind="stable")
+        order2 = np.argsort(pdf["_h2"].to_numpy(), kind="stable")
+        for r1, r2 in zip(order1, order2):
+            a, b = ix1[r1], ix2[r2]
+            if len(a) and len(b):
+                Su[np.ix_(a, b)] += 1
+        Fm = Sm.astype(np.float32)
+        Fm = (Fm + Fm.T) / 2
+        Fu = Su.astype(np.float32)
+        Fu = (Fu + Fu.T) / 2
+    else:
+        numbered, _ = _numbered(
+            aligned.select(
+                "bf_indices_1",
+                "bf_indices_2",
+                F.xxhash64("bf_indices_1", F.lit(seed)).alias("_h1"),
+            ),
+            "_h1",
+            offset=0,
+            range_by=True,
+            known_count=n_train,
+        )
+        numbered = numbered.select(
+            "bf_indices_1", "bf_indices_2", F.col("slot").alias("rn")
+        )
+        # seeded shuffle of side 2 against side 1 (negative class,
+        # embedder.py:623)
+        shuffled2, _ = _numbered(
+            aligned.select(
+                "bf_indices_2",
+                F.xxhash64("bf_indices_2", F.lit(seed + 1)).alias("_h2"),
+            ),
+            "_h2",
+            offset=0,
+            range_by=True,
+            known_count=n_train,
+        )
+        shuffled2 = shuffled2.select("bf_indices_2", F.col("slot").alias("rn"))
+        jumbled = numbered.drop("bf_indices_2").join(shuffled2, "rn")
+        Fm = _counts_to_matrix(joint_freq_counts(numbered), size)
+        Fu = _counts_to_matrix(joint_freq_counts(jumbled), size)
 
     eye = np.eye(size, dtype=np.float32)
     fm = (prior_matched if prior_matched is not None else eye) + learning_rate * Fm
@@ -262,10 +309,14 @@ def soft_cosine_score_col(proj1: Column, indices2: Column, norm1: Column, norm2:
     """JVM-side soft cosine from a precomputed projection:
     ``sum_j proj1[ix2_j] / (norm1 * norm2)`` — codegen'd gather+sum, no
     Python in the per-pair hot path."""
+    # one fused fold (gather inside the aggregate lambda) instead of
+    # transform-then-aggregate: same cells in the same left-fold order —
+    # identical float64 sums — minus the intermediate gathered array and
+    # one interpreted HOF layer per pair
     num = F.aggregate(
-        F.transform(indices2, lambda j: F.element_at(proj1, j + 1)),
+        indices2,
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda acc, j: acc + F.element_at(proj1, j + 1),
     )
     denom = norm1 * norm2
     return F.when(denom > 0, num / denom)

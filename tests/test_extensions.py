@@ -818,3 +818,33 @@ def test_k_anonymity_report_golden(spark):
 
     with pytest.raises(ValueError):
         k_anonymity_report(df, ks=(1,))
+
+
+def test_train_scm_driver_fast_path_matches_distributed(spark):
+    """The counted driver scatter-add (r6) must produce the exact trained
+    matrices of the distributed explode x explode aggregation, including
+    the seeded derangement for the unmatched class."""
+    import numpy as np
+
+    from pprl_spark.config import EmbedderConfig
+    from pprl_spark.operators.scm import train_scm
+
+    rng = __import__("random").Random(9)
+    rows = []
+    for i in range(60):
+        a = sorted(rng.sample(range(64), 6))
+        b = sorted(rng.sample(range(64), 6))
+        rows.append((a, b))
+    # duplicate arrays force hash ties in the derangement ordering
+    rows.append(rows[0])
+    rows.append(rows[1])
+    df = spark.createDataFrame(
+        rows, "bf_indices_1 array<int>, bf_indices_2 array<int>"
+    )
+    cfg = EmbedderConfig(bf_size=64, num_hashes=2)
+    fast = train_scm(df, cfg, seed=7)  # 62 rows -> driver path
+    slow = train_scm(df, cfg, seed=7, driver_rows=0)  # force distributed
+    for key in ("scm", "freq_matr_matched", "freq_matr_unmatched"):
+        np.testing.assert_array_equal(
+            np.asarray(fast[key]), np.asarray(slow[key]), err_msg=key
+        )
