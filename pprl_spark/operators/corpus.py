@@ -149,19 +149,29 @@ def tfidf_top_terms(
     w = words_col(text_col)
     # per-row distinct terms with in-place counts: O(distinct * tokens)
     # per document (documents are bounded), zero shuffle for TF
-    per_doc = docs.select(
-        "doc_id",
-        F.size(w).alias("n_tokens"),
-        F.explode(
-            F.transform(
-                F.array_distinct(w),
-                lambda d: F.struct(
-                    d.alias("word"),
-                    F.size(F.filter(w, lambda x: x == d)).alias("tf"),
-                ),
-            )
-        ).alias("t"),
-    ).select("doc_id", "n_tokens", F.col("t.word").alias("word"), F.col("t.tf").alias("tf"))
+    from pprl_spark.operators.dedup import _materialize
+
+    # materialized once: both the DF aggregation and the scoring join read
+    # it, and the per-row O(distinct * tokens) term-count expansion would
+    # otherwise run twice (measured ~2x the stage cost at sf0.1)
+    per_doc = _materialize(
+        docs.select(
+            "doc_id",
+            F.size(w).alias("n_tokens"),
+            F.explode(
+                F.transform(
+                    F.array_distinct(w),
+                    lambda d: F.struct(
+                        d.alias("word"),
+                        F.size(F.filter(w, lambda x: x == d)).alias("tf"),
+                    ),
+                )
+            ).alias("t"),
+        ).select(
+            "doc_id", "n_tokens", F.col("t.word").alias("word"), F.col("t.tf").alias("tf")
+        ),
+        "checkpoint",
+    )
     df_table = per_doc.groupBy("word").agg(F.count("*").alias("df"))
     if broadcast_idf:
         df_table = F.broadcast(df_table)
@@ -237,10 +247,16 @@ def unigram_surprisals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     carries ≤ |vocab| rows per map partition); the total is a 1-row
     aggregate broadcast back. Lazy — no driver action at construction.
     """
-    counts = (
+    from pprl_spark.operators.dedup import _materialize
+
+    # two consumers (the grand total and the surprisal projection) read
+    # the word-count table; materialize it or the corpus explode+groupBy
+    # runs twice
+    counts = _materialize(
         docs.select(F.explode(words_col(text_col)).alias("word"))
         .groupBy("word")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("cnt")),
+        "checkpoint",
     )
     total = counts.agg(F.sum("cnt").cast("double").alias("_total"))
     return counts.join(F.broadcast(total)).select(
@@ -555,17 +571,25 @@ def pmi_collocations(
         raise ValueError(f"k must be positive, got {k}")
     from pyspark.sql import Window
 
-    counts = (
+    from pprl_spark.operators.dedup import _materialize
+
+    # materialized once: the grand total and the scored projection both
+    # read the bigram-count table, and the total does NOT need the two
+    # marginal windows — computing it from the base table keeps the
+    # windows to one evaluation (previously the corpus explode+groupBy
+    # and both windows ran twice)
+    base_counts = _materialize(
         docs.select(F.explode(bigrams_col(text_col)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
         .withColumn("_w1", F.split(F.col("bigram"), " ").getItem(0))
-        .withColumn("_w2", F.split(F.col("bigram"), " ").getItem(1))
+        .withColumn("_w2", F.split(F.col("bigram"), " ").getItem(1)),
+        "checkpoint",
     )
-    counts = counts.withColumn(
+    counts = base_counts.withColumn(
         "c_left", F.sum("cnt").over(Window.partitionBy("_w1"))
     ).withColumn("c_right", F.sum("cnt").over(Window.partitionBy("_w2")))
-    total = counts.agg(F.sum("cnt").cast("double").alias("_n"))
+    total = base_counts.agg(F.sum("cnt").cast("double").alias("_n"))
     scored = (
         counts.where(F.col("cnt") >= min_count)
         .join(F.broadcast(total))

@@ -1,0 +1,123 @@
+"""Dump .explain("formatted") for the optimization round's touched queries.
+
+Unlike bench_probe --plan, this builds the UN-memoized lineage for the
+stage-level frames (the memoized checkpoints would otherwise reduce every
+plan to a checkpoint scan), so the dumped plans show the real operator
+shapes the optimization notes reference.
+
+Usage: python tools/dump_plans.py <out_dir> <tag>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from pprl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    out_dir, tag = sys.argv[1], sys.argv[2]
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="plan_dump", master="local[8]")
+
+    def docs():
+        return entry._docs(spark, SF_DIR)
+
+    def build_setjoin():
+        from pprl_spark.functions.text import shingle_hashes
+        from pprl_spark.operators.setjoin import jaccard_join
+
+        toks = docs().select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            shingle_hashes("text", k=2).alias("tokens"),
+        )
+        return jaccard_join(toks, threshold="0.4", materialize="none")
+
+    def build_containment():
+        from pprl_spark.functions.text import shingle_hashes
+        from pprl_spark.operators.setjoin import containment_join
+
+        toks = docs().select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            shingle_hashes("text", k=2).alias("tokens"),
+        )
+        return containment_join(
+            toks.where("doc_id % 20 = 0"),
+            toks.where("doc_id % 20 != 0"),
+            threshold="0.6",
+            materialize="none",
+        )
+
+    def build_minhash():
+        from pprl_spark.operators.dedup import minhash_near_duplicates
+
+        return minhash_near_duplicates(docs(), k=3, threshold=0.5, materialize="none")
+
+    def build_block_score():
+        return entry._score_block_pairs(entry._blocked(spark, SF_DIR))
+
+    def build_mutual_best():
+        from pprl_spark.operators.matching import mutual_best_match
+
+        pairs = entry._scored_pairs(spark, SF_DIR).select("id1", "id2", "sim")
+        try:
+            return mutual_best_match(pairs, materialize="none")
+        except TypeError:  # round-start signature
+            return mutual_best_match(pairs)
+
+    def build_fs_scored():
+        return entry.queries()["pprl_fs_scored"](spark, SF_DIR)
+
+    def build_fs_match():
+        return entry.queries()["pprl_fs_match"](spark, SF_DIR)
+
+    def build_divergence():
+        from pprl_spark.operators.corpus import source_divergence
+
+        try:
+            return source_divergence(docs(), materialize="none")
+        except TypeError:  # round-start signature
+            return source_divergence(docs())
+
+    def build_tfidf():
+        return entry.queries()["text_tfidf"](spark, SF_DIR)
+
+    def build_jw_pairs():
+        return entry.queries()["pprl_jw_pairs"](spark, SF_DIR)
+
+    builders = {
+        "dedup_setjoin": build_setjoin,
+        "dedup_containment": build_containment,
+        "dedup_minhash": build_minhash,
+        "pprl_block_score": build_block_score,
+        "pprl_match": build_mutual_best,
+        "fs_scored": build_fs_scored,
+        "fs_match": build_fs_match,
+        "corpus_divergence": build_divergence,
+        "text_tfidf": build_tfidf,
+        "jw_pairs": build_jw_pairs,
+    }
+    for name, build in builders.items():
+        try:
+            df = build()
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # a builder absent at this tree state
+            plan = f"(not dumpable at this tree state: {e})"
+        with open(f"{out_dir}/{name}_{tag}.txt", "w") as fh:
+            fh.write(plan)
+        print("dumped", name, flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
