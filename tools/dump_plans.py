@@ -74,7 +74,35 @@ def main() -> None:
             return mutual_best_match(pairs)
 
     def build_fs_scored():
-        return entry.queries()["pprl_fs_scored"](spark, SF_DIR)
+        # The fs_scored query memoizes itself behind a localCheckpoint,
+        # which would reduce the dumped plan to a checkpoint scan. Patch
+        # localCheckpoint to identity (and bypass the memo) for this one
+        # build so the dump shows the live scoring lineage; the
+        # scored-pairs memo underneath keeps its real checkpoints, which
+        # is the shape the optimization notes discuss (scoring projection
+        # over the memoized pair table).
+        # patch the CONCRETE DataFrame class (Spark 4's classic
+        # implementation overrides localCheckpoint, so patching the
+        # pyspark.sql.DataFrame parent is a silent no-op)
+        _DF = type(docs())
+
+        real_memo, real_ckpt = entry._memoized, _DF.localCheckpoint
+
+        def memo_no_fs(key, build):
+            if len(key) >= 3 and key[2] == "fs_scored":
+                _DF.localCheckpoint = lambda self, *a, **k: self
+                try:
+                    return build()
+                finally:
+                    _DF.localCheckpoint = real_ckpt
+            return real_memo(key, build)
+
+        entry._memoized = memo_no_fs
+        try:
+            return entry.queries()["pprl_fs_scored"](spark, SF_DIR)
+        finally:
+            entry._memoized = real_memo
+            _DF.localCheckpoint = real_ckpt
 
     def build_fs_match():
         return entry.queries()["pprl_fs_match"](spark, SF_DIR)
@@ -105,6 +133,9 @@ def main() -> None:
         "text_tfidf": build_tfidf,
         "jw_pairs": build_jw_pairs,
     }
+    only = os.environ.get("PLAN_ONLY")
+    if only:
+        builders = {k: v for k, v in builders.items() if k in only.split(",")}
     for name, build in builders.items():
         try:
             df = build()
