@@ -259,3 +259,32 @@ def test_pagerank_canonical_composition(spark):
     )
     canon = {r.entity_id: r.doc_id for r in top}
     assert canon == {1: 2, 10: 10}
+
+
+def test_cc_driver_dense_and_scatter_branches_identical(spark, monkeypatch):
+    """The driver fast path's dense-adjacency branch (node count below
+    DENSE_CC_NODES) and the per-edge scatter branch must compute the
+    identical labeling: the min-label fixed point is unique, so the
+    branch choice is a pure performance decision."""
+    import random
+
+    import pprl_spark.operators.cluster as C
+
+    rng = random.Random(97)
+    # mixed shape: two cliques, a chain, islands, plus random noise edges
+    edges = []
+    clique1 = list(range(0, 40))
+    clique2 = list(range(100, 130))
+    edges += [(a, b) for i, a in enumerate(clique1) for b in clique1[i + 1:]]
+    edges += [(a, b) for i, a in enumerate(clique2) for b in clique2[i + 1:]]
+    edges += [(i, i + 1) for i in range(200, 260)]
+    edges += [(rng.randrange(300, 400), rng.randrange(300, 400)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+
+    dense = {(r["doc_id"], r["entity_id"])
+             for r in connected_components(df).collect()}
+    monkeypatch.setattr(C, "DENSE_CC_NODES", 0)  # force the scatter branch
+    scatter = {(r["doc_id"], r["entity_id"])
+               for r in connected_components(df).collect()}
+    assert dense == scatter and dense
