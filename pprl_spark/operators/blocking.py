@@ -121,10 +121,17 @@ def add_block_keys(
     """Add ``block_keys array<string>`` to an embedded documents frame."""
     keys: list[Column] = []
     if use_lsh:
-        # materialize the signature once, then slice it (see
-        # band_keys_from_signature for why this two-step shape matters)
-        df = df.withColumn("_sig", minhash_col("bf_indices", config.minhash_perms))
-        keys.append(band_keys_from_signature(F.col("_sig"), config))
+        if "mh_sig" in df.columns:
+            # the embed kernel precomputed the signature (vectorized
+            # numpy, bit-identical to minhash_col — see embedding.py):
+            # the JVM fold below is an interpreted higher-order function
+            # costing ~0.9s per 20k-doc blocking stage when computed here
+            keys.append(band_keys_from_signature(F.col("mh_sig"), config))
+        else:
+            # materialize the signature once, then slice it (see
+            # band_keys_from_signature for why this two-step shape matters)
+            df = df.withColumn("_sig", minhash_col("bf_indices", config.minhash_perms))
+            keys.append(band_keys_from_signature(F.col("_sig"), config))
     if use_sorted_neighborhood:
         cols = {f: F.col(f) for f in config.colspec if f in df.columns}
         sn = sorted_neighborhood_keys(cols)
@@ -135,7 +142,9 @@ def add_block_keys(
     merged = keys[0]
     for k in keys[1:]:
         merged = F.concat(merged, k)
-    return df.withColumn("block_keys", F.array_distinct(merged)).drop("_sig")
+    # drop the signature columns: _sig is internal, and mh_sig has done
+    # its job (keeping it would widen every downstream explode/shuffle)
+    return df.withColumn("block_keys", F.array_distinct(merged)).drop("_sig", "mh_sig")
 
 
 def explode_blocks(
