@@ -131,6 +131,7 @@ def _bloom(df: DataFrame) -> DataFrame:
 
     def kernel(batches):
         from pprl_spark.functions.hashing import pack_bitmap
+        from pprl_spark.operators.blocking import minhash_signatures
 
         for pdf in batches:
             memo: dict = {}
@@ -150,6 +151,11 @@ def _bloom(df: DataFrame) -> DataFrame:
                     # and may be re-evaluated once per consumer — the
                     # cause of an intermittent 5x stall in the pair join
                     "bf_bitmap": [pack_bitmap(o[0], BF_SIZE // 64) for o in out],
+                    # minhash signature precomputed here for the same
+                    # reason as the bitmap: blocking.minhash_col is an
+                    # interpreted higher-order fold per row; the numpy
+                    # twin is bit-identical (pinned by test)
+                    "mh_sig": minhash_signatures([o[0] for o in out], MH_PERMS),
                     "collision_fraction": [o[1] for o in out],
                 }
             )
@@ -157,7 +163,8 @@ def _bloom(df: DataFrame) -> DataFrame:
     return df.mapInPandas(
         kernel,
         "doc_id long, feats array<string>, bf_indices array<int>, "
-        "bf_bitmap array<bigint>, collision_fraction double",
+        "bf_bitmap array<bigint>, mh_sig array<bigint>, "
+        "collision_fraction double",
     )
 
 
@@ -185,11 +192,18 @@ def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embedded(spark, sf_dir)
 
     def build():
-        sig = emb.withColumn("_sig", minhash_col("bf_indices", MH_PERMS))
+        # the _bloom kernel precomputes mh_sig (vectorized numpy,
+        # bit-identical to minhash_col — the interpreted JVM fold is the
+        # fallback for stage tables written before the column existed)
+        if "mh_sig" in emb.columns:
+            sig, sig_col = emb, F.col("mh_sig")
+        else:
+            sig = emb.withColumn("_sig", minhash_col("bf_indices", MH_PERMS))
+            sig_col = F.col("_sig")
         keys = []
         for band in range(MH_BANDS):
             parts = [
-                F.col("_sig").getItem(band * MH_ROWS + r).cast("string")
+                sig_col.getItem(band * MH_ROWS + r).cast("string")
                 for r in range(MH_ROWS)
             ]
             keys.append(F.concat_ws("-", F.lit(f"mh{band}"), *parts))

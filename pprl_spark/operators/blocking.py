@@ -39,6 +39,38 @@ def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
     ]
 
 
+def minhash_signatures(idx_rows, num_perm: int) -> list[list[int] | None]:
+    """Vectorized numpy twin of :func:`minhash_col` for Python kernels.
+
+    ``sig_j = min over indices x of (a_j*x + b_j) mod P``. Bloom indices
+    are small (< bf_size + offset) and ``a_j < P < 2^31``, so every
+    product fits int64 exactly — bit-identical to the JVM fold (pinned
+    by an eqNullSafe comparison test). Empty index rows yield
+    ``[None]*num_perm``, matching ``aggregate()`` over an empty array
+    returning its null-filled init. Embed kernels call this so the
+    blocking stage never pays the interpreted higher-order fold.
+    """
+    import numpy as np
+
+    coeffs = minhash_coeffs(num_perm)
+    mh_a = np.array([a for a, _ in coeffs], dtype=np.int64)
+    mh_b = np.array([b for _, b in coeffs], dtype=np.int64)
+    lens = np.fromiter((len(ix) for ix in idx_rows), np.int64, len(idx_rows))
+    total = int(lens.sum())
+    out: list[list[int] | None] = [None] * len(idx_rows)
+    if total:
+        flat = np.fromiter((x for ix in idx_rows for x in ix), np.int64, total)
+        h = (flat[:, None] * mh_a[None, :] + mh_b[None, :]) % MINHASH_PRIME
+        nz = np.flatnonzero(lens)
+        starts = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=starts[1:])
+        mins = np.minimum.reduceat(h, starts, axis=0)
+        for row_i, sig in zip(nz.tolist(), mins.tolist()):
+            out[row_i] = sig
+    empty = [None] * num_perm
+    return [empty if o is None else o for o in out]
+
+
 def minhash_col(indices_col: Column | str, num_perm: int) -> Column:
     """array<long> MinHash signature of an array<int> column, JVM-side.
 

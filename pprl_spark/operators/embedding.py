@@ -109,44 +109,12 @@ def embed_documents(
     )
 
     def kernel(batches):
-        import numpy as np
-
         from pprl_spark.functions import tokens as TK
         from pprl_spark.functions.hashing import (
             bloom_indices_with_collisions,
             pack_bitmap,
         )
-        from pprl_spark.operators.blocking import MINHASH_PRIME, minhash_coeffs
-
-        coeffs = minhash_coeffs(mh_perms)
-        mh_a = np.array([a for a, _ in coeffs], dtype=np.int64)
-        mh_b = np.array([b for _, b in coeffs], dtype=np.int64)
-
-        def minhash_sigs(idx_rows):
-            # Vectorized twin of blocking.minhash_col: sig_j = min over
-            # indices x of (a_j*x + b_j) mod P. Bloom indices are small
-            # (< bf_size + offset) and a_j < P < 2^31, so a_j*x + b_j
-            # fits int64 exactly — bit-identical to the JVM fold, which
-            # is an interpreted higher-order function costing ~0.9s per
-            # 20k-doc blocking stage when computed there. Empty index
-            # rows yield [None]*perms, matching aggregate() over an
-            # empty array returning its null-filled init.
-            lens = np.fromiter((len(ix) for ix in idx_rows), np.int64, len(idx_rows))
-            total = int(lens.sum())
-            out = [None] * len(idx_rows)
-            if total:
-                flat = np.fromiter(
-                    (x for ix in idx_rows for x in ix), np.int64, total
-                )
-                h = (flat[:, None] * mh_a[None, :] + mh_b[None, :]) % MINHASH_PRIME
-                nz = np.flatnonzero(lens)
-                starts = np.zeros(len(nz), dtype=np.int64)
-                np.cumsum(lens[nz][:-1], out=starts[1:])
-                mins = np.minimum.reduceat(h, starts, axis=0)
-                for row_i, sig in zip(nz.tolist(), mins.tolist()):
-                    out[row_i] = sig
-            empty = [None] * mh_perms
-            return [empty if o is None else o for o in out]
+        from pprl_spark.operators.blocking import minhash_signatures
 
         kernels = TK.FEATURE_KERNELS
         plan = []
@@ -186,7 +154,11 @@ def embed_documents(
                 features=feats_out,
                 bf_indices=idx_out,
                 bf_bitmap=bm_out,
-                mh_sig=minhash_sigs(idx_out),
+                # signature precomputed here (vectorized, bit-identical
+                # to the JVM fold) so add_block_keys never pays the
+                # interpreted higher-order minhash_col — same pattern as
+                # bf_bitmap above
+                mh_sig=minhash_signatures(idx_out, mh_perms),
                 collision_fraction=coll_out,
             )
 

@@ -117,3 +117,36 @@ def test_determinism_across_partitioning(spark):
     e1 = {r["doc_id"]: r["bf_indices"] for r in embed_documents(a1, CFG).select("doc_id", "bf_indices").collect()}
     e2 = {r["doc_id"]: r["bf_indices"] for r in embed_documents(a2, CFG).select("doc_id", "bf_indices").collect()}
     assert e1 == e2
+
+
+def test_minhash_sig_kernel_matches_jvm_fold(spark):
+    """The embed kernel's vectorized numpy MinHash signature must be
+    bit-identical to blocking.minhash_col (the JVM fold it replaces),
+    including empty-index rows (null-filled signature), and the block
+    keys derived from it must be identical end-to-end."""
+    from pprl_spark.operators.blocking import (
+        add_block_keys,
+        minhash_col,
+        minhash_signatures,
+    )
+
+    cfg = EmbedderConfig(abs_cutoff=0.3)
+    docs = synthesize_documents(spark, 500, "T")
+    emb = embed_documents(docs, cfg, keep=["doc_id"]).localCheckpoint()
+    assert "mh_sig" in emb.columns
+    bad = emb.withColumn(
+        "_jvm", minhash_col("bf_indices", cfg.minhash_perms)
+    ).where(~F.col("_jvm").eqNullSafe(F.col("mh_sig")))
+    assert bad.count() == 0
+    # python-level empty-row semantics match the fold's null-filled init
+    assert minhash_signatures([[]], 4) == [[None, None, None, None]]
+    bk_new = add_block_keys(emb, cfg).select(
+        "doc_id", F.explode("block_keys").alias("k")
+    )
+    bk_old = add_block_keys(emb.drop("mh_sig"), cfg).select(
+        "doc_id", F.explode("block_keys").alias("k")
+    )
+    assert bk_new.exceptAll(bk_old).count() == 0
+    assert bk_old.exceptAll(bk_new).count() == 0
+    # the signature column is internal: consumed and dropped
+    assert "mh_sig" not in add_block_keys(emb, cfg).columns
