@@ -2212,6 +2212,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim",
         )
 
+    def _fs_match_memo(spark, sf_dir):
+        # memoized FS match stage table (tiny: one row per matched pair)
+        # so the cluster end-cap measures the transitive closure GIVEN
+        # the match stage instead of re-running the two ranking windows
+        # over the 7.9M-row scored table per consumer — the same
+        # stage-cost semantics as dedup_clusters riding the minhash pair
+        # memo. pprl_fs_match itself stays un-memoized: the bench's
+        # fs_match entry measures the windows.
+        return _memoized(
+            (_skey(spark), sf_dir, "fs_match"),
+            lambda: pprl_fs_match(spark, sf_dir).localCheckpoint(),
+        )
+
     def pprl_fs_clusters(spark, sf_dir):
         # FS pipeline end-cap: entities from the FS-calibrated match
         # stage — mutual-best pairs with positive net evidence
@@ -2219,7 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one namespace still chains (a doc can be id1 in one pair and
         # id2 in another), so CC is the right closure, exactly as in
         # pprl_clusters.
-        m = pprl_fs_match(spark, sf_dir).where(F.col("score_u") > 0)
+        m = _fs_match_memo(spark, sf_dir).where(F.col("score_u") > 0)
         cc = connected_components(m.select("id1", "id2"))
         return cc.select(
             F.col("doc_id").cast("long").alias("doc_id"),
