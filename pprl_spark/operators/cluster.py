@@ -75,9 +75,32 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
     v = pdf_edges.iloc[:, 1].to_numpy()
     if len(u) == 0:
         return spark.createDataFrame([], f"doc_id {dtype}, entity_id {dtype}")
-    ids = np.unique(np.concatenate([u, v]))  # sorted: index order == id order
-    src = np.searchsorted(ids, u)
-    dst = np.searchsorted(ids, v)
+    # node relabeling: ids must be SORTED unique (index order == id order
+    # so min index == min id). For integer ids over a bounded range —
+    # doc_ids are dense non-negative longs in every match graph here —
+    # a direct offset lookup table replaces the O(E log E)
+    # unique+searchsorted sort (measured ~0.8s of the 6.1M-edge sf0.1
+    # collect); the sort path remains for string ids and sparse 64-bit
+    # hash id spaces.
+    direct = False
+    if np.issubdtype(u.dtype, np.integer):
+        lo = int(min(u.min(), v.min()))
+        hi = int(max(u.max(), v.max()))
+        span = hi - lo + 1
+        if span <= 4 * len(u) + 1024:  # ~9B/unit: bounded by edge count
+            present = np.zeros(span, dtype=bool)
+            present[u - lo] = True
+            present[v - lo] = True
+            ids = np.flatnonzero(present).astype(u.dtype) + lo
+            lookup = np.empty(span, dtype=np.int64)
+            lookup[ids - lo] = np.arange(len(ids))
+            src = lookup[u - lo]
+            dst = lookup[v - lo]
+            direct = True
+    if not direct:
+        ids = np.unique(np.concatenate([u, v]))  # sorted
+        src = np.searchsorted(ids, u)
+        dst = np.searchsorted(ids, v)
     n = len(ids)
     if n <= DENSE_CC_NODES:
         # Dense-adjacency relaxation: entity-resolution match graphs are

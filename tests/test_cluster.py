@@ -288,3 +288,15 @@ def test_cc_driver_dense_and_scatter_branches_identical(spark, monkeypatch):
     scatter = {(r["doc_id"], r["entity_id"])
                for r in connected_components(df).collect()}
     assert dense == scatter and dense
+
+    # sparse 64-bit id space: the direct offset-lookup relabeling must
+    # fall back to the unique+searchsorted sort and still agree
+    big = 1 << 40
+    sparse = spark.createDataFrame(
+        [(a * big + 7, b * big + 7) for a, b in edges], "id1 long, id2 long"
+    )
+    monkeypatch.setattr(C, "DENSE_CC_NODES", 8192)
+    got = {(r["doc_id"], r["entity_id"])
+           for r in connected_components(sparse).collect()}
+    want = {(a * big + 7, e * big + 7) for a, e in dense}
+    assert got == want
