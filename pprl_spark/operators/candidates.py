@@ -404,14 +404,24 @@ def generate_candidates(
         # groupBy below shuffles only (id1, id2, key, sim) scalars — at
         # 10^12 docs the pair table dominates, and not carrying two
         # vectors through the exchange is a ~10x shuffle saving.
+        # Intersect form: the UNROLLED flat bit_count sum (codegen) only
+        # when no min_sim filter follows (2.8s -> 0.8s on 18.4M pairs);
+        # the compact interpreted HOF fold under a trailing filter. The
+        # unrolled-under-filter alternatives were measured and rejected
+        # TWICE (r6, both sessions), in both join shapes:
+        # - broadcast shape, 20k docs/side, noop sink: fold 3.0s vs
+        #   unrolled 7.5s, unrolled + a monotonically_increasing_id
+        #   pushdown barrier 7.2s — the 16-term chain un-JITs the fused
+        #   broadcast-probe + salt-explode stage with or without the
+        #   pushed-down filter duplicating it;
+        # - merge shape, 100k docs/side, local[4] (the at-scale shape):
+        #   match phase 58.6s with the fold vs 241.4s with
+        #   unrolled+barrier. A 20k merge-shape .count() probe had
+        #   suggested the opposite (3.4s vs 8.9s) — but count() lets
+        #   Catalyst prune first(sim) from the pair-dedupe aggregate, so
+        #   that probe measured a plan the real query never runs.
+        #   Probe with a noop sink or at the real consumer, not count().
         pairs = (
-            # the unrolled intersect only when no min_sim filter follows:
-            # a filter on the projected sim alias is pushed below the
-            # projection, duplicating the whole expression (plan shows 32
-            # bit_count terms for 16 words) and the doubled flat expression
-            # un-JITs the stage — measured 4.6s vs 1.5s at 20k docs/side.
-            # The compact HOF fold tolerates the duplication; without a
-            # filter the unrolled form wins (2.8s -> 0.8s on 18.4M pairs).
             pairs.withColumn(
                 "_isect",
                 bitmap_intersect_count(
