@@ -121,6 +121,16 @@ def main() -> None:
     def build_jw_pairs():
         return entry.queries()["pprl_jw_pairs"](spark, SF_DIR)
 
+    def build_winnow():
+        from pprl_spark.operators.dedup import winnow_near_duplicates
+
+        return winnow_near_duplicates(
+            docs(), k=2, w=4, threshold=0.4, max_df=100, materialize="none"
+        )
+
+    def build_scm_scored():
+        return entry.queries()["pprl_scm_scored"](spark, SF_DIR)
+
     builders = {
         "dedup_setjoin": build_setjoin,
         "dedup_containment": build_containment,
@@ -132,6 +142,8 @@ def main() -> None:
         "corpus_divergence": build_divergence,
         "text_tfidf": build_tfidf,
         "jw_pairs": build_jw_pairs,
+        "dedup_winnow": build_winnow,
+        "scm_scored": build_scm_scored,
     }
     only = os.environ.get("PLAN_ONLY")
     if only:
