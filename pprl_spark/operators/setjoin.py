@@ -13,10 +13,19 @@ must share a token in their (small) rarest-token prefixes:
   ``groupBy(token).count()`` hash-joined back onto the exploded tokens
   (skew-safe: a hub token never sorts its posting list in one window
   task), then one row_number window over the doc partition.
-- prefix: the first ``n - ceil(t*n) + 1`` tokens.  Any pair with
-  Jaccard >= t shares a prefix token (pigeonhole on the canonical
-  order), so the candidate join runs on prefix tokens only — and
-  prefixes select the LOW-df tokens by construction, so join blocks
+- prefix: asymmetric (AllPairs).  The LARGER record of a pair probes
+  with its first ``n - ceil(t*n) + 1`` tokens; the SMALLER record is
+  indexed by only its first ``n - ceil(2t/(1+t)*n) + 1`` tokens
+  (0.43n vs 0.6n at t=0.4).  Lossless: for a matching pair with
+  n_small <= n_big the required overlap a = ceil(t/(1+t)*(n_big +
+  n_small)) satisfies a >= ceil(t*n_big) (because n_small >= t*n_big)
+  AND a >= ceil(2t/(1+t)*n_small) (because n_big >= n_small), and the
+  FIRST common token in canonical order sits within position
+  n - a + 1 on BOTH sides — so it lands in the big side's probing
+  prefix and the small side's indexing prefix.  The join takes
+  probe x index with a (n, id)-lexicographic role condition, so every
+  unordered pair is considered exactly once with the correct roles.
+  Prefixes select the LOW-df tokens by construction, so join blocks
   are naturally small (the skew story: hub tokens like stopwords fall
   out of prefixes for all but the shortest docs).
 - length filter: min(n1,n2) >= t * max(n1,n2), else Jaccard < t.
@@ -100,41 +109,57 @@ def jaccard_join(
         .over(Window.partitionBy("_id").orderBy("_df", "_t"))
         .cast("long"),
     )
-    # prefix length n - ceil(t*n) + 1 in exact integers:
+    # probing prefix n - ceil(t*n) + 1 in exact integers:
     # ceil(num*n/den) = (num*n + den - 1) DIV den
     prefix_len = F.expr(f"_n - ((_n * {num} + {den - 1}) DIV {den}) + 1")
     pref = _materialize(
         ranked.filter(F.col("_pos") <= prefix_len).select("_id", "_t", "_n", "_pos"),
         materialize,
     )
+    # indexing prefix n - ceil(2t/(1+t)*n) + 1 (always <= probing
+    # prefix, so it filters the materialized probe-prefix table):
+    # ceil(2*num*n/(num+den)) = (2*num*n + num+den-1) DIV (num+den)
+    index_len = F.expr(
+        f"_n - ((_n * {2 * num} + {num + den - 1}) DIV {num + den}) + 1"
+    )
 
     a = pref.select(
-        F.col("_id").alias("id1"),
+        F.col("_id").alias("_pid"),
         "_t",
-        F.col("_n").alias("n1"),
-        F.col("_pos").alias("p1"),
+        F.col("_n").alias("_pn"),
+        F.col("_pos").alias("_pp"),
     )
-    b = pref.select(
-        F.col("_id").alias("id2"),
+    b = pref.filter(F.col("_pos") <= index_len).select(
+        F.col("_id").alias("_iid"),
         "_t",
-        F.col("_n").alias("n2"),
-        F.col("_pos").alias("p2"),
+        F.col("_n").alias("_in"),
+        F.col("_pos").alias("_ip"),
     )
     cand = (
         a.join(b, "_t")
-        .filter(F.col("id1") < F.col("id2"))
-        # symmetric length filter: min >= t * max, integer-exact
+        # role condition: the index side is the (n, id)-lexicographically
+        # smaller record, so each unordered pair is generated once with
+        # the larger record probing — the asymmetry that lets the index
+        # prefix be shorter
         .filter(
-            F.least("n1", "n2") * F.lit(den) >= F.greatest("n1", "n2") * F.lit(num)
+            (F.col("_in") < F.col("_pn"))
+            | ((F.col("_in") == F.col("_pn")) & (F.col("_iid") < F.col("_pid")))
         )
+        # length filter (index side is the smaller): n_i >= t * n_p
+        .filter(F.col("_in") * F.lit(den) >= F.col("_pn") * F.lit(num))
     )
     if positional:
-        # ub = min(n1-p1, n2-p2) + 1 >= ceil(num*(n1+n2)/(num+den))
-        ub = F.least(F.col("n1") - F.col("p1"), F.col("n2") - F.col("p2")) + F.lit(1)
+        # ub = min(n_p-p_p, n_i-p_i) + 1 >= ceil(num*(n_p+n_i)/(num+den))
+        ub = F.least(
+            F.col("_pn") - F.col("_pp"), F.col("_in") - F.col("_ip")
+        ) + F.lit(1)
         cand = cand.filter(
-            ub * F.lit(num + den) >= (F.col("n1") + F.col("n2")) * F.lit(num)
+            ub * F.lit(num + den) >= (F.col("_pn") + F.col("_in")) * F.lit(num)
         )
-    cand = cand.select("id1", "id2").distinct()
+    cand = cand.select(
+        F.least("_pid", "_iid").alias("id1"),
+        F.greatest("_pid", "_iid").alias("id2"),
+    ).distinct()
 
     s1 = base.select(F.col("_id").alias("id1"), F.col("_tk").alias("_tk1"))
     s2 = base.select(F.col("_id").alias("id2"), F.col("_tk").alias("_tk2"))

@@ -73,6 +73,30 @@ def test_duplicate_tokens_and_exact_dupes(spark):
     assert all(r.jaccard == 1.0 for r in full)
 
 
+def test_asymmetric_index_prefix_role_boundaries(spark):
+    # the indexing-prefix asymmetry assigns the (n, id)-lexicographically
+    # smaller record the SHORTER index prefix; exercise the role tiebreak
+    # (equal sizes) and the length-filter boundary (n_small == ceil(t *
+    # n_big)) explicitly, where a too-short index prefix would lose pairs
+    rows = [
+        # equal sizes, overlapping — id tiebreak decides the roles
+        (1, [10, 11, 12, 13, 14]),
+        (2, [10, 11, 12, 13, 15]),
+        # boundary pair at t=0.5: n=4 vs n=8, needs all 4 common
+        (3, [20, 21, 22, 23]),
+        (4, [20, 21, 22, 23, 24, 25, 26, 27]),
+        # just below the length filter: can never match at t=0.5
+        (5, [30, 31, 32]),
+        (6, [30, 31, 32, 33, 34, 35, 36]),
+        # match found only via a LATE token of the small side's prefix
+        (7, [40, 41, 42, 43, 44, 45]),
+        (8, [41, 42, 43, 44, 45, 46]),
+    ]
+    for t in ("0.4", "0.5", "0.8"):
+        got, _ = _spark_pairs(spark, rows, t)
+        assert got == _naive(rows, t), t
+
+
 def test_bad_threshold_raises(spark):
     df = spark.createDataFrame([(1, [1])], "doc_id long, tokens array<long>")
     with pytest.raises(ValueError):
