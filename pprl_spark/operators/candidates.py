@@ -440,6 +440,16 @@ def generate_candidates(
         # one pair could take rank 1 in the two windows independently and
         # lose the pair), and it shuffles only scalars. Provenance is the
         # hashed key (the string key never survives to the join sides).
+        # Shape-dependent dedupe (same mechanism as setjoin.py): in the
+        # sort-merge shape the join output is partitioned by block key,
+        # so a pair's duplicates are cross-partition and the map-side
+        # partial aggregate dedupes ~nothing — repartition(id1, id2)
+        # runs both aggregate passes clustered instead. In the broadcast
+        # shape the probe side is doc-ordered, duplicates are already
+        # co-partitioned, and the map-side partial dedupes them before
+        # any exchange — keep the plain groupBy there.
+        if hint != "broadcast":
+            pairs = pairs.repartition(F.col("id1"), F.col("id2"))
         return pairs.groupBy("id1", "id2").agg(
             F.min("_bk").alias("block_key_hash"), F.first("sim").alias("sim")
         )
