@@ -79,14 +79,14 @@ def delta_candidates(
         "block_key_hash",
         "sim",
     )
-    return (
-        cross_norm.unionByName(within.select("id1", "id2", "block_key_hash", "sim"))
-        .groupBy("id1", "id2")
-        .agg(
-            F.min("block_key_hash").alias("block_key_hash"),
-            F.first("sim").alias("sim"),
-        )
-    )
+    # No dedupe across the union: each frame is already pair-deduped by
+    # generate_candidates, and the two frames cannot share a pair —
+    # cross pairs have exactly one delta endpoint, within pairs two, and
+    # corpus/delta ids are disjoint by the append-only contract above.
+    # (A groupBy here was a full no-op exchange + two aggregate passes
+    # over the entire pair table; removed, equivalence pinned by
+    # tests/test_streaming_delta.py's union/batch-match equalities.)
+    return cross_norm.unionByName(within.select("id1", "id2", "block_key_hash", "sim"))
 
 
 def delta_match(
