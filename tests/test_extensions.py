@@ -521,6 +521,15 @@ def test_pair_join_hint_plan_shape(spark):
     assert "SortMergeJoin" in plan(merged)
     auto = generate_candidates(blocks, None, EmbedderConfig(pair_join_hint="auto"))
     assert "BroadcastHashJoin" in plan(auto)
+    # the two shapes dedupe differently (merge repartitions by the pair
+    # key, broadcast relies on the doc-ordered probe side) — results
+    # must be identical regardless
+    def pairs(df):
+        return {
+            (r["id1"], r["id2"], round(r["sim"], 9)) for r in df.collect()
+        }
+
+    assert pairs(merged) == pairs(auto)
 
 
 def test_decode_kernel_properties():
